@@ -1,0 +1,186 @@
+"""Typed configuration for the whole framework.
+
+Replaces the reference's three config mechanisms — ~25 compile-time #define
+plugs (/root/reference/include/SolveDVO.h:61-131), constructor-hardcoded
+constants (/root/reference/src/SolveDVO.cpp:20-34), and OpenCV-XML calibration
+files chosen in main() (/root/reference/src/dvo.cpp:13-15) — with one
+serializable dataclass tree.
+
+All numeric defaults reproduce the reference exactly; see per-field citations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics + plumb-bob distortion at the *base* solver resolution.
+
+    The reference loads these from OpenCV XML calib files
+    (/root/reference/src/SolveDVO.cpp:88, src/camTopic2PublisherPyD.cpp:434-455).
+    Defaults are the TUM Freiburg-1 ROS-default calibration at 320x240
+    (the auto-written ``Freiburg_ROS_default_320x240.xml``: fr1 VGA intrinsics
+    halved, matching src/camTopic2PublisherPyD.cpp:443-451 / src/dvo.cpp:15).
+    """
+
+    width: int = 320
+    height: int = 240
+    fx: float = 525.0 / 2.0
+    fy: float = 525.0 / 2.0
+    cx: float = 319.5 / 2.0
+    cy: float = 239.5 / 2.0
+    # plumb-bob (k1, k2, p1, p2, k3); zeros = ROS-default (rectified) stream
+    distortion: Tuple[float, float, float, float, float] = (0.0, 0.0, 0.0, 0.0, 0.0)
+
+    def scaled(self, factor: float) -> "CameraConfig":
+        """Intrinsics at a different resolution (factor<1 shrinks)."""
+        return dataclasses.replace(
+            self,
+            width=int(round(self.width * factor)),
+            height=int(round(self.height * factor)),
+            fx=self.fx * factor,
+            fy=self.fy * factor,
+            cx=self.cx * factor,
+            cy=self.cy * factor,
+        )
+
+
+@dataclass(frozen=True)
+class PyramidConfig:
+    """Image-pyramid layout.
+
+    The reference publishes 4 levels at 1/2..1/16 of VGA with INTER_NEAREST
+    (/root/reference/src/camTopic2PublisherPyD.cpp:339-345); level 0 of the
+    solver is 320x240 (VGA intentionally skipped, ibid:341).
+
+    ``max_points`` fixes the edge-point tensor size per level (TPU static
+    shapes): the reference keeps ragged per-level point lists
+    (/root/reference/src/SolveDVO.cpp:269-303); we keep top-K with a validity
+    mask instead.
+    """
+
+    num_levels: int = 4
+    # fixed edge-point capacity per level, fine -> coarse
+    max_points: Tuple[int, ...] = (8192, 4096, 2048, 1024)
+    # interpolation used when building the pyramid ("nearest" matches reference)
+    resize_mode: str = "nearest"
+
+    def level_scale(self, level: int) -> float:
+        """Scale of `level` relative to level 0 (reference: pow(2,-level),
+        /root/reference/src/SolveDVO.cpp:231)."""
+        return 2.0 ** (-level)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Edge-DVO optimizer constants.
+
+    Every default mirrors the reference's hardcoded values
+    (/root/reference/src/SolveDVO.cpp:20-34 and runIterations :619-1017).
+    """
+
+    # iterations per level, index = level (reference: iterationsConfig
+    # 50/50/50/50, src/SolveDVO.cpp:29-34)
+    iterations: Tuple[int, ...] = (50, 50, 50, 50)
+    # sub-gradient schedule: step = step_a / max(itr-step_b, 1) for itr>5
+    # (reference: 9.0e-2 / ((itr>5)?(itr-4):1), src/SolveDVO.cpp:772-773)
+    step_length: float = 9.0e-2
+    # momentum on the descent direction (BETA, src/SolveDVO.cpp:653)
+    momentum: float = 0.5
+    # diagonal preconditioner: rotation block scaled by this
+    # (PFactor, src/SolveDVO.cpp:723-730)
+    precondition_rot: float = 0.5
+    # L2 regularization on normalized log-pose
+    # (regularizationLambda, src/SolveDVO.cpp:742; plug SolveDVO.h:112)
+    l2_lambda: float = 0.05
+    enable_l2_regularization: bool = True
+    # trust-region hyper-sphere radius on psi (src/SolveDVO.cpp:25,830-839)
+    trust_region_radius: float = 0.003
+    # early-termination threshold on |psi| (src/SolveDVO.cpp:24,872-878)
+    psi_norm_termination: float = 1.0e-7
+    # Huber-style weight w(r) = 6/(6 + r^2/weight_sigma2)
+    # (getWeightOf, src/SolveDVO.cpp:1047-1053)
+    weight_sigma2: float = 0.25
+    # re-orthonormalize R each iteration (__ENABLE_ROTATIONIZE__, SolveDVO.h:117)
+    rotationize: bool = True
+    # "svd" = exact polar projection via SVD (reference, src/SolveDVO.cpp:1269-1282)
+    # "newton" = Newton-Schulz polar iteration (TPU-fast, equivalent for
+    # near-orthogonal R)
+    rotationize_method: str = "newton"
+    # min-max normalize the distance transform to 0..255
+    # (__SCALE_NORMALIZE_DISTANCE_TRANFROM, SolveDVO.h:103, active)
+    normalize_dt: bool = True
+    # bilinear(ish) DT sampling (__INTERPOLATE_DISTANCE_TRANSFORM, SolveDVO.h:98,
+    # inactive in the reference -> floor lookup, src/SolveDVO.cpp:446)
+    interpolate_dt: bool = False
+    # Canny thresholds/aperture (cv::Canny(150,100,3,L2), src/SolveDVO.cpp:1705)
+    canny_high: float = 150.0
+    canny_low: float = 100.0
+    # min depth (mm) for a usable edge point (src/SolveDVO.cpp:1251)
+    min_depth_mm: float = 100.0
+    # optimizer family: "subgradient" (reference parity) or "gauss_newton"
+    # (6x6 normal-equation solve — the TPU fast path)
+    method: str = "subgradient"
+    # Levenberg damping for the gauss_newton method
+    lm_damping: float = 1.0e-4
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe / reference-frame refresh policy.
+
+    Reference: forced refresh every 5 frames (src/SolveDVO.cpp:2155-2160);
+    quality triggers exist but are commented out in loop() (:2129-2152) while
+    active in loopFromFile (:2563-2574). We keep all of them switchable.
+    """
+
+    force_every: int = 5
+    # quality triggers (reference constants, src/SolveDVO.cpp:21-23)
+    enable_quality_triggers: bool = False
+    laplacian_b_thresh: float = 3.0
+    min_visible_ratio: float = 0.8
+    min_reprojected_pts: int = 50
+    # __NEW__REF_UPDATE rollback re-solve (SolveDVO.h:92, src/SolveDVO.cpp:2194-2233)
+    rollback_resolve: bool = True
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Whole-pipeline configuration bundle."""
+
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    pyramid: PyramidConfig = field(default_factory=PyramidConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    # compute dtype for image ops ("float32"; bfloat16 available for edges/DT)
+    dtype: str = "float32"
+
+    # ---- serialization ----------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "PipelineConfig":
+        d = json.loads(s)
+
+        def _tup(x):
+            return tuple(x) if isinstance(x, list) else x
+
+        cam = d.get("camera", {})
+        cam["distortion"] = _tup(cam.get("distortion", (0.0,) * 5))
+        pyr = d.get("pyramid", {})
+        pyr["max_points"] = _tup(pyr.get("max_points", (8192, 4096, 2048, 1024)))
+        sol = d.get("solver", {})
+        sol["iterations"] = _tup(sol.get("iterations", (50, 50, 50, 50)))
+        return PipelineConfig(
+            camera=CameraConfig(**cam),
+            pyramid=PyramidConfig(**pyr),
+            solver=SolverConfig(**sol),
+            keyframe=KeyframeConfig(**d.get("keyframe", {})),
+            dtype=d.get("dtype", "float32"),
+        )

@@ -1,0 +1,131 @@
+"""Canny edge detection, TPU-native, with OpenCV-matching semantics.
+
+Replaces cv::Canny(im8u, edges, 150, 100, apertureSize=3, L2gradient=true)
+(/root/reference/src/SolveDVO.cpp:1705, :1767). OpenCV normalizes the two
+thresholds to low=min, high=max, squares them under L2gradient, computes an
+aperture-3 Sobel with BORDER_REPLICATE, runs fixed-point sector NMS (TG22
+arithmetic, reproduced here exactly in int32), then 8-connected hysteresis.
+
+Hysteresis is OpenCV's stack-based flood fill re-expressed as an iterated
+3x3 dilation of strong edges through the weak-candidate mask inside a
+`lax.while_loop` — a fixpoint identical to BFS connectivity, and each sweep is
+one cheap fused VPU pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_odometry_tpu.ops.gradient import sobel3
+
+_TG22 = 13573  # round(tan(22.5 deg) * 2^15), OpenCV's fixed-point constant
+_SHIFT = 15
+
+
+def _nms(mag: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray, low: float) -> jnp.ndarray:
+    """OpenCV sector non-maximum suppression. mag/dx/dy are integral-valued
+    float arrays; returns bool mask of NMS survivors with mag > low."""
+    # zero-padded neighbours (OpenCV treats out-of-image magnitude as 0)
+    pad = [(0, 0)] * (mag.ndim - 2) + [(1, 1), (1, 1)]
+    m = jnp.pad(mag, pad)
+    c = m[..., 1:-1, 1:-1]
+    left = m[..., 1:-1, :-2]
+    right = m[..., 1:-1, 2:]
+    up = m[..., :-2, 1:-1]
+    down = m[..., 2:, 1:-1]
+    ul = m[..., :-2, :-2]
+    ur = m[..., :-2, 2:]
+    dl = m[..., 2:, :-2]
+    dr = m[..., 2:, 2:]
+
+    xs = dx.astype(jnp.int32)
+    ys = dy.astype(jnp.int32)
+    x = jnp.abs(xs)
+    y = jnp.abs(ys) << _SHIFT
+    tg22x = x * _TG22
+    tg67x = tg22x + ((x + x) << _SHIFT)
+
+    horiz = y < tg22x
+    vert = (~horiz) & (y > tg67x)
+    diag = (~horiz) & (~vert)
+    # s=+1 when dx,dy same sign (OpenCV: (xs ^ ys) < 0 -> s = -1)
+    s_neg = (xs ^ ys) < 0
+
+    keep_h = (c > left) & (c >= right)
+    keep_v = (c > up) & (c >= down)
+    # diagonal: m > prev_row[j-s] && m > next_row[j+s]
+    keep_d_pos = (c > ul) & (c > dr)  # s = +1
+    keep_d_neg = (c > ur) & (c > dl)  # s = -1
+    keep = jnp.where(
+        horiz, keep_h, jnp.where(vert, keep_v, jnp.where(s_neg, keep_d_neg, keep_d_pos))
+    )
+    del diag
+    return keep & (c > low)
+
+
+def _dilate3x3(mask: jnp.ndarray) -> jnp.ndarray:
+    pad = [(0, 0)] * (mask.ndim - 2) + [(1, 1), (1, 1)]
+    m = jnp.pad(mask, pad)
+    out = m[..., 1:-1, 1:-1]
+    for dy in (0, 1, 2):
+        for dx_ in (0, 1, 2):
+            if dy == 1 and dx_ == 1:
+                continue
+            out = out | m[..., dy : dy + mask.shape[-2], dx_ : dx_ + mask.shape[-1]]
+    return out
+
+
+def hysteresis(strong: jnp.ndarray, weak: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
+    """8-connected propagation of `strong` through `weak` to a fixpoint.
+
+    Equivalent to OpenCV's BFS; runs as a `lax.while_loop` of 3x3 dilations
+    (each pass extends every edge chain by one pixel in all directions).
+    """
+    if max_iters is None:
+        max_iters = strong.shape[-2] + strong.shape[-1]
+
+    def cond(state):
+        edges, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        edges, _, it = state
+        grown = _dilate3x3(edges) & weak
+        new = edges | grown
+        return new, jnp.any(new != edges), it + 1
+
+    init = (strong & weak, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    edges, _, _ = jax.lax.while_loop(cond, body, init)
+    return edges
+
+
+def canny(
+    img: jnp.ndarray,
+    low: float = 100.0,
+    high: float = 150.0,
+    l2gradient: bool = True,
+    hysteresis_max_iters: int | None = None,
+) -> jnp.ndarray:
+    """Canny edge map (bool). `img` is 8-bit-valued (0..255, integral floats).
+
+    The reference calls cv::Canny(im, edges, 150, 100, 3, true)
+    (/root/reference/src/SolveDVO.cpp:1705): OpenCV swaps to low=100, high=150.
+    """
+    if low > high:
+        low, high = high, low
+    img = jnp.round(img)  # emulate convertTo(CV_8U) saturation/rounding
+    img = jnp.clip(img, 0.0, 255.0)
+    gx, gy = sobel3(img, border="replicate")
+    gxi = gx.astype(jnp.int32)
+    gyi = gy.astype(jnp.int32)
+    if l2gradient:
+        mag = (gxi * gxi + gyi * gyi).astype(jnp.float32)
+        low_t, high_t = float(low) * float(low), float(high) * float(high)
+    else:
+        mag = (jnp.abs(gxi) + jnp.abs(gyi)).astype(jnp.float32)
+        low_t, high_t = float(low), float(high)
+
+    weak = _nms(mag, gx, gy, low_t)
+    strong = weak & (mag > high_t)
+    return hysteresis(strong, weak, hysteresis_max_iters)

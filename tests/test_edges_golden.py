@@ -1,0 +1,114 @@
+"""Golden tests for Canny + distance transform against OpenCV.
+
+The reference's numerics flow through cv::Canny and cv::distanceTransform
+(/root/reference/src/SolveDVO.cpp:1705-1712); these tests pin our TPU-native
+implementations to OpenCV outputs on synthetic imagery — the test pyramid the
+reference never had (SURVEY.md section 4).
+"""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rgbd_odometry_tpu.ops.canny import canny
+from rgbd_odometry_tpu.ops.distance_transform import (
+    distance_transform_of_edges,
+    edt_l2,
+    normalize_minmax,
+)
+from rgbd_odometry_tpu.ops.gradient import central_gradient, sobel3
+
+
+def _synthetic_scene(rng, h=120, w=160):
+    """Piecewise-constant blocks + circles: strong clean edges like indoor TUM
+    scenes, without the noise that makes NMS tie-breaking chaotic."""
+    img = np.full((h, w), 40, np.uint8)
+    img[20:70, 30:90] = 160
+    img[50:100, 80:140] = 90
+    cv2.circle(img, (120, 40), 22, 210, -1)
+    img = cv2.GaussianBlur(img, (5, 5), 1.2)
+    return img
+
+
+def test_sobel_matches_opencv(rng):
+    img = _synthetic_scene(rng).astype(np.float32)
+    gx_cv = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3, borderType=cv2.BORDER_REPLICATE)
+    gy_cv = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=3, borderType=cv2.BORDER_REPLICATE)
+    gx, gy = sobel3(jnp.asarray(img), border="replicate")
+    np.testing.assert_allclose(np.asarray(gx), gx_cv, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gy), gy_cv, atol=1e-3)
+
+
+def test_central_gradient_matches_filter2d(rng):
+    img = rng.uniform(0, 255, (64, 80)).astype(np.float32)
+    kx = np.array([[0, 0, 0], [-0.5, 0, 0.5], [0, 0, 0]], np.float32)
+    ky = kx.T.copy()
+    gx_cv = cv2.filter2D(img, cv2.CV_32F, kx)
+    gy_cv = cv2.filter2D(img, cv2.CV_32F, ky)
+    gx, gy = central_gradient(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(gx), gx_cv, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy), gy_cv, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_canny_matches_opencv(seed):
+    rng = np.random.default_rng(seed)
+    img = _synthetic_scene(rng)
+    edges_cv = cv2.Canny(img, 150, 100, apertureSize=3, L2gradient=True) > 0
+    edges = np.asarray(canny(jnp.asarray(img, jnp.float32), 100.0, 150.0))
+    mismatch = (edges != edges_cv).mean()
+    assert mismatch < 2e-3, f"canny mismatch fraction {mismatch}"
+
+
+def test_canny_natural_image():
+    rng = np.random.default_rng(3)
+    # smooth random field -> curvy edges exercising all NMS sectors
+    img = cv2.GaussianBlur(rng.uniform(0, 255, (96, 128)).astype(np.float32), (0, 0), 4.0)
+    img = cv2.normalize(img, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+    edges_cv = cv2.Canny(img, 150, 100, apertureSize=3, L2gradient=True) > 0
+    edges = np.asarray(canny(jnp.asarray(img, jnp.float32), 100.0, 150.0))
+    mismatch = (edges != edges_cv).mean()
+    assert mismatch < 5e-3, f"canny mismatch fraction {mismatch}"
+
+
+def test_edt_matches_opencv(rng):
+    mask = np.zeros((60, 80), np.uint8)
+    pts = rng.integers(0, [60, 80], size=(25, 2))
+    mask[pts[:, 0], pts[:, 1]] = 1
+    # OpenCV: distance to nearest zero pixel of src; src = 255 - edges*255
+    src = (255 - mask * 255).astype(np.uint8)
+    dt_cv = cv2.distanceTransform(src, cv2.DIST_L2, cv2.DIST_MASK_PRECISE)
+    dt = np.asarray(edt_l2(jnp.asarray(mask > 0)))
+    np.testing.assert_allclose(dt, dt_cv, atol=1e-3)
+
+
+def test_edt_empty_and_full():
+    # no edges: large finite values, no NaN/inf
+    dt = np.asarray(edt_l2(jnp.zeros((16, 16), bool)))
+    assert np.isfinite(dt).all() and (dt > 1e3).all()
+    # all edges: exactly zero
+    dt = np.asarray(edt_l2(jnp.ones((16, 16), bool)))
+    np.testing.assert_allclose(dt, 0.0)
+
+
+def test_full_edge_dt_chain_matches_opencv(rng):
+    """The reference's exact per-level chain: Canny -> invert -> DT -> minmax
+    normalize (/root/reference/src/SolveDVO.cpp:1705-1712)."""
+    img = _synthetic_scene(rng)
+    edges_cv = cv2.Canny(img, 150, 100, apertureSize=3, L2gradient=True)
+    dt_cv = cv2.distanceTransform(255 - edges_cv, cv2.DIST_L2, cv2.DIST_MASK_PRECISE)
+    dt_cv = cv2.normalize(dt_cv, None, 0.0, 255.0, cv2.NORM_MINMAX)
+
+    edges = canny(jnp.asarray(img, jnp.float32), 100.0, 150.0)
+    dt = np.asarray(distance_transform_of_edges(edges, normalize=True))
+    # a handful of differing edge pixels shift the DT locally; compare robustly
+    err = np.abs(dt - dt_cv)
+    assert np.median(err) < 1.0
+    assert err.mean() < 2.0
+
+
+def test_normalize_minmax():
+    x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
+    y = np.asarray(normalize_minmax(x))
+    assert y.min() == 0.0 and abs(y.max() - 255.0) < 1e-4
