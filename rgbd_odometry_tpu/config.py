@@ -104,8 +104,12 @@ class SolverConfig:
     # early-termination threshold on |psi| (src/SolveDVO.cpp:24,872-878)
     psi_norm_termination: float = 1.0e-7
     # Huber-style weight w(r) = 6/(6 + r^2/weight_sigma2)
-    # (getWeightOf, src/SolveDVO.cpp:1047-1053)
+    # (getWeightOf, src/SolveDVO.cpp:1047-1053) — r in (normalized) DT units,
+    # used by the reference-parity subgradient mode
     weight_sigma2: float = 0.25
+    # gauss_newton mode: same weight shape but with the residual measured in
+    # pixels (resolution/normalization independent); sigma^2 in px^2
+    gn_weight_sigma2_px: float = 1.0
     # re-orthonormalize R each iteration (__ENABLE_ROTATIONIZE__, SolveDVO.h:117)
     rotationize: bool = True
     # "svd" = exact polar projection via SVD (reference, src/SolveDVO.cpp:1269-1282)
@@ -128,6 +132,15 @@ class SolverConfig:
     method: str = "subgradient"
     # Levenberg damping for the gauss_newton method
     lm_damping: float = 1.0e-4
+    # trust radius for the gauss_newton method: larger than the sub-gradient
+    # radius (0.003) because adaptive lambda already rejects bad steps
+    lm_trust_region: float = 0.01
+    # Jacobian flavour: "reference" reproduces the dehomogenized-coordinate
+    # quirk of /root/reference/src/SolveDVO.cpp:340-401 (translation block
+    # scaled by each point's depth — fine for a sub-gradient direction);
+    # "true" is the textbook SE(3) image Jacobian (required for
+    # Gauss-Newton). "auto" picks by method.
+    jacobian_mode: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,162 @@
+"""Analytic synthetic RGB-D scene renderer for tests and benchmarks.
+
+The reference is validated against TUM RGB-D bags replayed through ROS
+(/root/reference/gel.launch:4-17); this container has no dataset access, so we
+render a deterministic 3D scene analytically from any camera pose instead:
+a textured background plane plus floating billboard rectangles at nearer
+depths (sharp intensity edges + parallax — exactly what edge-DVO needs).
+
+Rectangles are *rotated* and rendering is *supersampled* (anti-aliased): a
+straight axis-aligned hard edge quantizes with a single sub-pixel phase along
+its whole length, which biases any edge-based alignment by up to half a pixel;
+rotated, anti-aliased edges vary in phase so averaging over edge points
+recovers sub-pixel motion. Ground-truth relative poses are exact, letting
+tests assert pose recovery far more tightly than bag replay ever could.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rgbd_odometry_tpu.config import CameraConfig
+
+
+def _in_rot_rect(px, py, x0, y0, w, h, ang):
+    """Point-in-rotated-rectangle test (rectangle rotated by `ang` about its
+    corner (x0, y0))."""
+    ca, sa = np.cos(ang), np.sin(ang)
+    lx = (px - x0) * ca + (py - y0) * sa
+    ly = -(px - x0) * sa + (py - y0) * ca
+    return (lx >= 0) & (lx < w) & (ly >= 0) & (ly < h)
+
+
+class SyntheticScene:
+    """Piecewise-constant-intensity scene: background plane at `z_plane` with
+    painted rotated rectangles, plus floating billboards at closer depths."""
+
+    def __init__(self, seed: int = 0, z_plane: float = 2.5, n_patches: int = 12, n_billboards: int = 5):
+        rng = np.random.default_rng(seed)
+        self.z_plane = z_plane
+        # painted rectangles on the plane: (x0, y0, w, h, angle, intensity)
+        self.patches = []
+        for _ in range(n_patches):
+            self.patches.append(
+                (
+                    rng.uniform(-1.6, 1.2),
+                    rng.uniform(-1.2, 0.9),
+                    rng.uniform(0.25, 0.9),
+                    rng.uniform(0.25, 0.9),
+                    rng.uniform(0, np.pi),
+                    rng.uniform(60, 230),
+                )
+            )
+        self.base_intensity = 40.0
+        # floating billboards: (x0, y0, w, h, angle, z, intensity)
+        self.billboards = []
+        for _ in range(n_billboards):
+            self.billboards.append(
+                (
+                    rng.uniform(-0.9, 0.5),
+                    rng.uniform(-0.7, 0.4),
+                    rng.uniform(0.2, 0.5),
+                    rng.uniform(0.2, 0.5),
+                    rng.uniform(0, np.pi),
+                    rng.uniform(1.1, 1.9),
+                    rng.uniform(80, 250),
+                )
+            )
+
+    def _render_rays(self, d_world: np.ndarray, o: np.ndarray, R: np.ndarray):
+        """Shade a grid of world-frame ray directions; returns (gray, depth_m)."""
+        shape = d_world.shape[:-1]
+        gray = np.full(shape, self.base_intensity, np.float32)
+        depth = np.zeros(shape, np.float32)
+        dz = d_world[..., 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = (self.z_plane - o[2]) / dz
+        hit_plane = (s > 0) & np.isfinite(s)
+        px = o[0] + s * d_world[..., 0]
+        py = o[1] + s * d_world[..., 1]
+        inten = np.full(shape, self.base_intensity, np.float32)
+        for x0, y0, pw, ph, ang, it in self.patches:
+            m = _in_rot_rect(px, py, x0, y0, pw, ph, ang)
+            inten = np.where(m, np.float32(it), inten)
+        # depth = camera-frame z of the hit point: X_cam = R^T (X_world - o)
+        plane_pt = np.stack([px, py, np.full_like(px, self.z_plane)], -1)
+        hit_cam_z = ((plane_pt - o) @ R)[..., 2]
+        gray = np.where(hit_plane, inten, gray)
+        depth = np.where(hit_plane, hit_cam_z.astype(np.float32), depth)
+
+        for x0, y0, bw, bh, ang, bz, it in sorted(self.billboards, key=lambda b: -b[5]):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (bz - o[2]) / dz
+            hit = (s > 0) & np.isfinite(s)
+            bx = o[0] + s * d_world[..., 0]
+            by = o[1] + s * d_world[..., 1]
+            hit &= _in_rot_rect(bx, by, x0, y0, bw, bh, ang)
+            bb_pt = np.stack([bx, by, np.full_like(bx, bz)], -1)
+            bz_cam = ((bb_pt - o) @ R)[..., 2].astype(np.float32)
+            closer = hit & ((depth == 0) | (bz_cam < depth)) & (bz_cam > 0)
+            gray = np.where(closer, np.float32(it), gray)
+            depth = np.where(closer, bz_cam, depth)
+        return gray, depth
+
+    def render(self, cam: CameraConfig, R: np.ndarray, t: np.ndarray, supersample: int = 3):
+        """Render (gray, depth_mm) float32 arrays from camera pose (R, t):
+        the camera's pose in the world (= reference-camera) frame, matching
+        the solver's (cR, cT) convention X_cam = R^T (X_world - t)
+        (/root/reference/src/SolveDVO.cpp:330).
+
+        Intensity is supersampled `supersample`x per axis and box-filtered
+        (anti-aliasing); depth takes the central sample (depth sensors don't
+        anti-alias).
+        """
+        h, w = cam.height, cam.width
+        ss = supersample
+        # supersampled pixel grid: sample centres at (i + (k+0.5)/ss - 0.5)
+        ys = (np.arange(h * ss) + 0.5) / ss - 0.5
+        xs = (np.arange(w * ss) + 0.5) / ss - 0.5
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        d_cam = np.stack(
+            [(gx - cam.cx) / cam.fx, (gy - cam.cy) / cam.fy, np.ones_like(gx)], axis=-1
+        )
+        d_world = d_cam @ R.T
+        gray_ss, depth_ss = self._render_rays(d_world, t, R)
+        gray = gray_ss.reshape(h, ss, w, ss).mean(axis=(1, 3))
+        mid = ss // 2
+        depth = depth_ss.reshape(h, ss, w, ss)[:, mid, :, mid]
+        gray = np.round(np.clip(gray, 0, 255)).astype(np.float32)
+        depth_mm = np.where(depth > 0, depth * 1000.0, 0.0).astype(np.float32)
+        return gray, depth_mm
+
+
+def render_pair(cam: CameraConfig, psi: np.ndarray, seed: int = 0, supersample: int = 3):
+    """Render (ref, now) frame pair where the now-camera pose in the ref frame
+    is se3_exp(psi) — the exact ground truth the solver should recover."""
+    from rgbd_odometry_tpu.core import geometry as geo
+    import jax.numpy as jnp
+
+    scene = SyntheticScene(seed=seed)
+    R_gt, t_gt = geo.se3_exp(jnp.asarray(psi, jnp.float32))
+    R_gt = np.asarray(R_gt, np.float64)
+    t_gt = np.asarray(t_gt, np.float64)
+    ref_gray, ref_depth = scene.render(cam, np.eye(3), np.zeros(3), supersample)
+    now_gray, now_depth = scene.render(cam, R_gt, t_gt, supersample)
+    return (ref_gray, ref_depth), (now_gray, now_depth), (R_gt, t_gt)
+
+
+def render_sequence(cam: CameraConfig, psis: np.ndarray, seed: int = 0, supersample: int = 3):
+    """Render a trajectory: psis (T, 6) are *absolute* camera poses (twists)
+    in the world frame. Returns list of (gray, depth_mm) and (R, t) tuples."""
+    from rgbd_odometry_tpu.core import geometry as geo
+    import jax.numpy as jnp
+
+    scene = SyntheticScene(seed=seed)
+    frames, poses = [], []
+    for psi in np.asarray(psis):
+        R, t = geo.se3_exp(jnp.asarray(psi, jnp.float32))
+        R = np.asarray(R, np.float64)
+        t = np.asarray(t, np.float64)
+        frames.append(scene.render(cam, R, t, supersample))
+        poses.append((R, t))
+    return frames, poses

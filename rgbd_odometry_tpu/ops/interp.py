@@ -30,6 +30,30 @@ def gather_floor(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     return jnp.take_along_axis(flat, idx, axis=-1)
 
 
+def gather_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Plain bilinear sampling with clamped coordinates."""
+    h, w = img.shape[-2:]
+    u = jnp.clip(u, 0.0, w - 1.0)
+    v = jnp.clip(v, 0.0, h - 1.0)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = u - x0.astype(img.dtype)
+    fy = v - y0.astype(img.dtype)
+    flat = img.reshape(img.shape[:-2] + (h * w,))
+
+    def g(yy, xx):
+        idx = yy * w + xx
+        if img.ndim == 2:
+            return jnp.take(flat, idx, axis=-1)
+        return jnp.take_along_axis(flat, idx, axis=-1)
+
+    top = g(y0, x0) * (1.0 - fx) + g(y0, x1) * fx
+    bot = g(y1, x0) * (1.0 - fx) + g(y1, x1) * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def gather_sqrt_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """The reference's `interpolate`: bilinear blend of *squared* samples with
     sqrt at each stage (/root/reference/src/SolveDVO.cpp:1285-1308).
