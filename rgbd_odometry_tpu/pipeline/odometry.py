@@ -1,0 +1,242 @@
+"""Streaming edge-DVO odometry driver: the `dvo` node rebuilt in-process.
+
+Replaces `SolveDVO::loop()` (/root/reference/src/SolveDVO.cpp:1896-2373):
+frame ingestion, reference-keyframe management with the every-N refresh and
+the quality triggers (Laplacian b-hat / visibility / point count,
+:2122-2160), the `__NEW__REF_UPDATE` rollback re-solve (:2194-2233), GOP
+trajectory composition, and per-frame metrics.
+
+Design: the device does everything statically-shaped (feature extraction, DT
+targets, coarse-to-fine solve) through two jitted entry points; the host
+holds only control flow that is inherently data-dependent across frames
+(keyframe switching / rollback), mirroring the two-phase structure the
+reference's event loop has anyway. The previous frame's pyramid is retained
+on device so a rollback re-solve costs one extra solve, no transfers.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd_odometry_tpu.config import PipelineConfig
+from rgbd_odometry_tpu.core.camera import Intrinsics
+from rgbd_odometry_tpu.core.pyramid import FramePyramid, build_pyramid
+from rgbd_odometry_tpu.pipeline.gop import (
+    Gop,
+    REASON_FIRST_FRAME,
+    REASON_LAPLACIAN_THRESH,
+    REASON_LOW_VISIBILITY,
+    REASON_PERIODIC,
+    REASON_TOO_FEW_REPROJECTIONS,
+)
+from rgbd_odometry_tpu.solvers import edge_dvo
+
+
+@dataclass
+class FrameMetrics:
+    """Per-frame observability record — the structured replacement for the
+    reference's scattered ROS_INFO prints and energy plots (SURVEY.md §5)."""
+
+    frame_num: int
+    solve_ms: float
+    best_energy: float
+    best_iter: int
+    visible_ratio: float
+    b_cap: float  # Laplacian-MLE scale of the residual histogram
+    num_points: int
+    keyframe_reason: int  # 0 = ordinary frame
+    rolled_back: bool = False
+    energy_curve: Optional[np.ndarray] = None
+
+
+def residual_b_cap(epsilons: np.ndarray, count: int) -> float:
+    """Laplace-MLE scale b-hat = mean(|residual|) over the level's points
+    (`processResidueHistogram`, /root/reference/src/SolveDVO.cpp:1455-1463:
+    b_cap = sum(residi)/N; invisible points contribute 0 exactly as there)."""
+    n = max(int(count), 1)
+    return float(np.sum(epsilons) / n)
+
+
+def residual_histogram(epsilons: np.ndarray, valid: np.ndarray, bins: int = 260) -> np.ndarray:
+    """Normalized 260-bin histogram of int residues
+    (/root/reference/src/SolveDVO.cpp:1403-1411)."""
+    e = np.clip(epsilons[valid].astype(np.int32) + 1, 0, bins - 1)
+    h = np.bincount(e, minlength=bins).astype(np.float64)
+    return h / max(len(e), 1)
+
+
+class EdgeDvoOdometry:
+    """Streaming odometry over a sequence of RGB-D frames."""
+
+    def __init__(self, config: PipelineConfig | None = None):
+        self.cfg = config or PipelineConfig()
+        self.intr = Intrinsics.from_config(self.cfg.camera)
+        self.gop = Gop()
+        self.metrics: List[FrameMetrics] = []
+        self._ref_feats = None
+        self._prev_pyr: Optional[FramePyramid] = None
+        self._prev_targets = None
+        self._frame_num = -1
+        self._last_ref_frame = -1
+        self._R = np.eye(3, dtype=np.float64)
+        self._t = np.zeros(3, dtype=np.float64)
+
+        scfg = self.cfg.solver
+        pyr = self.cfg.pyramid
+        max_pts = pyr.max_points[: pyr.num_levels]
+
+        self._extract_ref = jax.jit(
+            lambda g, d: edge_dvo.extract_ref_features(g, d, self.intr, scfg, max_pts)
+        )
+        self._prepare_now = jax.jit(
+            lambda g: edge_dvo.prepare_now_targets(g, scfg)
+        )
+        self._solve = jax.jit(
+            lambda feats, tgts, R0, t0: edge_dvo.solve_pyramid(
+                feats, tgts, self.intr, scfg, R0, t0
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def process_frame(
+        self, gray0: np.ndarray, depth0_mm: np.ndarray, timestamp: float = 0.0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Feed one frame (level-0 gray + depth, as from the ingest node);
+        returns the current global pose (R, t).
+
+        Mirrors one iteration of `loop()`'s steady state
+        (/root/reference/src/SolveDVO.cpp:2032-2371).
+        """
+        self._frame_num += 1
+        pyr = build_pyramid(
+            jnp.asarray(gray0, jnp.float32),
+            jnp.asarray(depth0_mm, jnp.float32),
+            self.cfg.pyramid.num_levels,
+        )
+
+        if self._frame_num == 0:
+            # bootstrap: first frame becomes the reference keyframe
+            # (:1950-2027)
+            self._set_ref(pyr)
+            self._last_ref_frame = 0
+            self.gop.push_keyframe(0, REASON_FIRST_FRAME, np.eye(3), np.zeros(3), timestamp)
+            self.metrics.append(
+                FrameMetrics(0, 0.0, 0.0, -1, 1.0, 0.0, int(self._ref_feats[0].count), REASON_FIRST_FRAME)
+            )
+            self._prev_pyr = pyr
+            return self.gop.global_pose(0)
+
+        t_start = time.perf_counter()
+        targets = self._prepare_now(pyr.gray)
+        R, t, diags = self._solve(
+            self._ref_feats,
+            targets,
+            jnp.asarray(self._R, jnp.float32),
+            jnp.asarray(self._t, jnp.float32),
+        )
+        jax.block_until_ready((R, t))
+        solve_ms = (time.perf_counter() - t_start) * 1000.0
+
+        finest = diags[0]
+        eps = np.asarray(finest.final_epsilons)
+        b_cap = residual_b_cap(eps, int(finest.num_points))
+        vis = float(finest.visible_ratio)
+        n_reproj = int(np.asarray(finest.final_valid).sum())
+
+        # ---- keyframe decision (:2122-2160) --------------------------
+        kf_cfg = self.cfg.keyframe
+        reason = 0
+        if kf_cfg.enable_quality_triggers:
+            if b_cap > kf_cfg.laplacian_b_thresh:
+                reason = REASON_LAPLACIAN_THRESH
+            if vis < kf_cfg.min_visible_ratio:
+                reason = REASON_LOW_VISIBILITY
+            if n_reproj < kf_cfg.min_reprojected_pts:
+                reason = REASON_TOO_FEW_REPROJECTIONS
+        if (self._frame_num - self._last_ref_frame) == kf_cfg.force_every:
+            reason = REASON_PERIODIC
+
+        rolled_back = False
+        if (
+            reason != 0
+            and kf_cfg.rollback_resolve
+            and self._last_ref_frame != (self._frame_num - 1)
+            and self._prev_pyr is not None
+        ):
+            # __NEW__REF_UPDATE (:2194-2233): the current estimate is
+            # distrusted; promote frame n-1 to the reference keyframe, reset
+            # the relative pose, and re-run the full pyramid solve.
+            self._last_ref_frame = self._frame_num - 1
+            self._set_ref(self._prev_pyr)
+            self.gop.update_most_recent_to_keyframe(reason)
+            R, t, diags = self._solve(
+                self._ref_feats,
+                targets,
+                jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros(3, dtype=jnp.float32),
+            )
+            jax.block_until_ready((R, t))
+            rolled_back = True
+            finest = diags[0]
+            eps = np.asarray(finest.final_epsilons)
+            b_cap = residual_b_cap(eps, int(finest.num_points))
+            vis = float(finest.visible_ratio)
+        elif reason != 0 and not kf_cfg.rollback_resolve:
+            # __OLD__REF_UPDATE naive variant (:2166-2191): current frame
+            # becomes the keyframe with the (possibly bad) estimate kept.
+            self.gop.push_keyframe(self._frame_num, reason, np.asarray(R), np.asarray(t), timestamp)
+            self._last_ref_frame = self._frame_num
+            self._set_ref(pyr)
+            self._R = np.eye(3)
+            self._t = np.zeros(3)
+            self._record(solve_ms, finest, b_cap, vis, reason, False)
+            self._prev_pyr = pyr
+            return self.gop.global_pose(-1)
+
+        self._R = np.asarray(R, np.float64)
+        self._t = np.asarray(t, np.float64)
+        self.gop.push_ordinary(self._frame_num, self._R, self._t, timestamp)
+        self._record(solve_ms, finest, b_cap, vis, reason, rolled_back)
+        self._prev_pyr = pyr
+        return self.gop.global_pose(-1)
+
+    # ------------------------------------------------------------------
+    def _set_ref(self, pyr: FramePyramid):
+        """setRcvdFrameAsRefFrame / setPrevFrameAsRefFrame + preProcessRefFrame
+        (/root/reference/src/SolveDVO.cpp:537-586, :269-303)."""
+        self._ref_feats = self._extract_ref(pyr.gray, pyr.depth)
+        self._R = np.eye(3)
+        self._t = np.zeros(3)
+
+    def _record(self, solve_ms, finest, b_cap, vis, reason, rolled_back):
+        self.metrics.append(
+            FrameMetrics(
+                frame_num=self._frame_num,
+                solve_ms=solve_ms,
+                best_energy=float(finest.best_energy),
+                best_iter=int(finest.best_iter),
+                visible_ratio=vis,
+                b_cap=b_cap,
+                num_points=int(finest.num_points),
+                keyframe_reason=reason,
+                rolled_back=rolled_back,
+                energy_curve=np.asarray(finest.energy),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def trajectory(self):
+        """(T,3,3) R, (T,3) t, (T,) timestamps of the estimated global path."""
+        return self.gop.poses()
+
+    def average_solve_ms(self) -> float:
+        """Reference prints the running average at exit (:2351)."""
+        ms = [m.solve_ms for m in self.metrics if m.frame_num > 0]
+        return float(np.mean(ms)) if ms else 0.0

@@ -1,0 +1,164 @@
+"""End-to-end streaming odometry tests on a synthetic trajectory.
+
+The integration test the reference only had as a manual launch-file smoke run
+(gel.launch + RViz inspection, SURVEY.md section 4): run the full pipeline over
+a rendered sequence with exact GT and assert trajectory quality + keyframe
+mechanics.
+"""
+
+import numpy as np
+import pytest
+
+from rgbd_odometry_tpu.config import (
+    CameraConfig,
+    KeyframeConfig,
+    PipelineConfig,
+    PyramidConfig,
+    SolverConfig,
+)
+from rgbd_odometry_tpu.eval.ate import ate_rmse, drift_stats, rebase_to_first, rpe
+from rgbd_odometry_tpu.io.synthetic import render_sequence
+from rgbd_odometry_tpu.pipeline.gop import Gop, REASON_PERIODIC
+from rgbd_odometry_tpu.pipeline.odometry import EdgeDvoOdometry
+
+CAM = CameraConfig(width=160, height=120, fx=130.0, fy=130.0, cx=79.5, cy=59.5)
+
+
+def _config(**kw):
+    return PipelineConfig(
+        camera=CAM,
+        pyramid=PyramidConfig(num_levels=3, max_points=(2048, 1024, 512)),
+        solver=SolverConfig(method="gauss_newton", iterations=(50, 8, 5)),
+        keyframe=KeyframeConfig(**kw),
+    )
+
+
+def _trajectory(n=8, step=0.004):
+    """Smooth small-motion camera path (absolute twists)."""
+    ts = np.arange(n)
+    psis = np.stack(
+        [
+            0.8 * step * ts,
+            -0.5 * step * ts,
+            0.3 * step * ts,
+            0.15 * step * ts,
+            -0.2 * step * ts,
+            0.1 * step * ts,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return psis
+
+
+def test_gop_composition():
+    g = Gop()
+    g.push_keyframe(0, 1, np.eye(3), np.zeros(3))
+    rel_t = np.array([0.1, 0.0, 0.0])
+    g.push_ordinary(1, np.eye(3), rel_t)
+    R, t = g.global_pose(1)
+    np.testing.assert_allclose(t, rel_t, atol=1e-12)
+    # promote frame 1 to keyframe; next relative poses compose from it
+    g.update_most_recent_to_keyframe(5)
+    g.push_ordinary(2, np.eye(3), rel_t)
+    _, t2 = g.global_pose(2)
+    np.testing.assert_allclose(t2, 2 * rel_t, atol=1e-12)
+    assert g.keyframe_indices() == [0, 1]
+
+
+def test_streaming_odometry_tracks_gt():
+    psis = _trajectory(n=8)
+    frames, poses = render_sequence(CAM, psis, seed=0)
+    odo = EdgeDvoOdometry(_config())
+    for i, (gray, depth) in enumerate(frames):
+        odo.process_frame(gray, depth, timestamp=float(i))
+    R_est, t_est, ts = odo.trajectory()
+    gt_R = np.stack([p[0] for p in poses])
+    gt_t = np.stack([p[1] for p in poses])
+    err = ate_rmse(t_est, gt_t, align=False)
+    # total motion over the sequence:
+    motion = np.linalg.norm(gt_t[-1])
+    # single-pair pose ambiguity along the scene's weak directions (see
+    # test_edge_dvo.py docstring) accumulates into the trajectory; the bound
+    # reflects that, not solver sloppiness (reprojection stays sub-pixel)
+    assert err < max(0.35 * motion, 0.008), f"ATE {err:.4f} vs motion {motion:.4f}"
+    # drift stats are finite and sane
+    ds = drift_stats(t_est, gt_t)
+    assert np.isfinite(ds.mean) and np.isfinite(ds.rms)
+
+
+def test_keyframe_every_n_and_rollback():
+    psis = _trajectory(n=12)
+    frames, _ = render_sequence(CAM, psis, seed=1)
+    cfg = _config(force_every=5, rollback_resolve=True)
+    odo = EdgeDvoOdometry(cfg)
+    for i, (gray, depth) in enumerate(frames):
+        odo.process_frame(gray, depth, timestamp=float(i))
+    # keyframes: frame 0 + promotions at the every-5 cadence
+    kf = odo.gop.keyframe_indices()
+    assert kf[0] == 0
+    assert len(kf) >= 2, f"expected periodic keyframe promotions, got {kf}"
+    # rollback happened (promoted frame n-1, reason periodic)
+    promoted = [odo.gop.elements[i] for i in kf[1:]]
+    assert all(e.reason == REASON_PERIODIC for e in promoted)
+    rolled = [m for m in odo.metrics if m.rolled_back]
+    assert len(rolled) >= 1
+
+
+def test_metrics_recorded():
+    psis = _trajectory(n=4)
+    frames, _ = render_sequence(CAM, psis, seed=2)
+    odo = EdgeDvoOdometry(_config())
+    for i, (gray, depth) in enumerate(frames):
+        odo.process_frame(gray, depth, timestamp=float(i))
+    assert len(odo.metrics) == 4
+    m = odo.metrics[2]
+    assert m.solve_ms > 0 and m.num_points > 50
+    assert np.isfinite(m.b_cap) and 0.0 <= m.visible_ratio <= 1.0
+    assert m.energy_curve is not None and len(m.energy_curve) == 50
+    assert odo.average_solve_ms() > 0
+
+
+def test_trajectory_io_roundtrip(tmp_path):
+    from rgbd_odometry_tpu.io.tum import read_trajectory, write_trajectory
+
+    rng = np.random.default_rng(0)
+    from rgbd_odometry_tpu.core import geometry as geo
+    import jax.numpy as jnp
+
+    psi = rng.standard_normal((6, 6)).astype(np.float32) * 0.3
+    R, t = geo.se3_exp(jnp.asarray(psi))
+    R = np.asarray(R, np.float64)
+    t = np.asarray(t, np.float64)
+    ts = np.arange(6, dtype=np.float64) + 1000.0
+    p = str(tmp_path / "traj.txt")
+    write_trajectory(p, R, t, ts)
+    R2, t2, ts2 = read_trajectory(p)
+    np.testing.assert_allclose(ts2, ts, atol=1e-6)
+    np.testing.assert_allclose(t2, t, atol=1e-5)
+    np.testing.assert_allclose(R2, R, atol=1e-4)
+    # skip_lines + rebase behave like loadGTPath
+    R3, t3, _ = read_trajectory(p, skip_lines=2, rebase=True)
+    assert len(t3) == 4
+    np.testing.assert_allclose(R3[0], np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(t3[0], 0.0, atol=1e-6)
+
+
+def test_rpe_and_umeyama():
+    rng = np.random.default_rng(3)
+    from rgbd_odometry_tpu.core import geometry as geo
+    import jax.numpy as jnp
+
+    psi = np.cumsum(rng.standard_normal((20, 6)).astype(np.float32) * 0.02, axis=0)
+    R, t = geo.se3_exp(jnp.asarray(psi))
+    R = np.asarray(R, np.float64)
+    t = np.asarray(t, np.float64)
+    # a rigidly transformed copy of the same trajectory: ATE(aligned) ~ 0
+    R_off, t_off = geo.se3_exp(jnp.asarray(np.array([0.3, -0.2, 0.5, 0.4, 0.1, -0.3], np.float32)))
+    t_moved = (np.asarray(R_off, np.float64) @ t.T).T + np.asarray(t_off, np.float64)
+    assert ate_rmse(t, t_moved, align=True) < 1e-5
+    assert ate_rmse(t, t_moved, align=False) > 0.1
+    # RPE of identical trajectories is 0
+    tr, rr = rpe(R, t, R, t)
+    # rotational RPE of identical f32 rotations: arccos near 1 is sqrt(eps)-
+    # conditioned, so ~1e-3 is the float32 floor, not an error
+    assert tr < 1e-9 and rr < 5e-3

@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rgbd_odometry_tpu.config import CameraConfig, SolverConfig
+from rgbd_odometry_tpu.core.camera import Intrinsics
+from rgbd_odometry_tpu.core.pyramid import build_pyramid
+from rgbd_odometry_tpu.io.synthetic import render_pair
+from rgbd_odometry_tpu.parallel import mesh as pmesh
+
+
+def _batched_pairs(batch, width=64, height=48, num_levels=2):
+    cam = CameraConfig(
+        width=width, height=height, fx=1.1 * width, fy=1.1 * width,
+        cx=(width - 1) / 2.0, cy=(height - 1) / 2.0,
+    )
+    psi = np.array([0.008, -0.006, 0.004, 0.003, -0.004, 0.002], np.float32)
+    (rg, rd), (ng, nd), gt = render_pair(cam, psi, seed=0)
+    ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), num_levels)
+    now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), num_levels)
+    rg_b = tuple(jnp.stack([g] * batch) for g in ref.gray)
+    rd_b = tuple(jnp.stack([d] * batch) for d in ref.depth)
+    ng_b = tuple(jnp.stack([g] * batch) for g in now.gray)
+    return cam, rg_b, rd_b, ng_b, gt
+
+
+def test_mesh_has_8_cpu_devices():
+    assert len(jax.devices()) == 8
+    m = pmesh.make_mesh()
+    assert m.shape[pmesh.DATA_AXIS] == 8
+
+
+def test_sharded_aligner_matches_single_device():
+    cam, rg_b, rd_b, ng_b, (R_gt, t_gt) = _batched_pairs(batch=8)
+    intr = Intrinsics.from_config(cam)
+    cfg = SolverConfig(method="gauss_newton", iterations=(4, 3))
+    max_pts = (512, 256)
+    m = pmesh.make_mesh()
+    aligner = pmesh.build_sharded_aligner(m, intr, cfg, max_pts)
+    batch_on_mesh = pmesh.shard_batch(m, (rg_b, rd_b, ng_b))
+    R, t = aligner(*batch_on_mesh)
+    assert len(R.sharding.device_set) == 8
+    # all batch entries identical input -> identical output, and matches the
+    # unsharded vmap result bit-for-bit (pure data parallelism)
+    from rgbd_odometry_tpu.solvers import edge_dvo
+
+    R1, t1, _ = jax.jit(
+        lambda a, b, c: edge_dvo.align_pair(a, b, c, intr, cfg, max_pts)
+    )(tuple(g[0] for g in rg_b), tuple(d[0] for d in rd_b), tuple(g[0] for g in ng_b))
+    np.testing.assert_allclose(np.asarray(R)[0], np.asarray(R1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t)[3], np.asarray(t1), atol=1e-6)
+
+
+def test_sharded_train_step_stats_replicated():
+    cam, rg_b, rd_b, ng_b, _ = _batched_pairs(batch=16)
+    intr = Intrinsics.from_config(cam)
+    cfg = SolverConfig(method="gauss_newton", iterations=(3, 2))
+    m = pmesh.make_mesh()
+    step = pmesh.build_sharded_train_step(m, intr, cfg, (512, 256))
+    (R, t), stats = step(*pmesh.shard_batch(m, (rg_b, rd_b, ng_b)))
+    assert R.shape == (16, 3, 3)
+    assert np.isfinite(float(stats["mean_energy"]))
+    assert 0.0 <= float(stats["mean_visible_ratio"]) <= 1.0
+    # stats are replicated (global reduction happened across the mesh)
+    assert stats["mean_energy"].sharding.is_fully_replicated
+
+
+def test_graft_entry_single_and_multichip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    R, t = jax.jit(fn)(*args)
+    assert R.shape == (3, 3) and t.shape == (3,)
+    ge.dryrun_multichip(8)
