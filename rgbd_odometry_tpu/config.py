@@ -135,6 +135,15 @@ class SolverConfig:
     # trust radius for the gauss_newton method: larger than the sub-gradient
     # radius (0.003) because adaptive lambda already rejects bad steps
     lm_trust_region: float = 0.01
+    # image sampling backend: "mxu" = separable one-hot matmul gathers (TPU
+    # point-gathers serialize per element; the MXU formulation is ~100x
+    # faster), "take" = jnp.take_along_axis (exact reference semantics,
+    # fine on CPU)
+    gather_mode: str = "mxu"
+    # dtype of the stacked DT/gradient channels fed to the MXU gather in
+    # gauss_newton mode: "bfloat16" doubles MXU throughput at ~0.04px residual
+    # rounding (DT spans 0-255); subgradient parity mode always uses float32
+    gather_dtype: str = "bfloat16"
     # Jacobian flavour: "reference" reproduces the dehomogenized-coordinate
     # quirk of /root/reference/src/SolveDVO.cpp:340-401 (translation block
     # scaled by each point's depth — fine for a sub-gradient direction);

@@ -1,0 +1,83 @@
+"""MXU-native image sampling: gathers as separable one-hot matmuls.
+
+XLA lowers point gathers (`jnp.take_along_axis`) on TPU to a serialized
+per-element path (~0.1-0.2 us/element measured on v5e) — catastrophic for the
+solver's inner loop, which samples the distance transform and its gradients
+at thousands of reprojected points every iteration.
+
+TPU-first reformulation: bilinear sampling is separable, so a gather at
+points (u, v) factors into
+
+    row_mix[c, k, :] = W_row[k, :] @ img[c, :, :]        (MXU matmul, (K,H)x(H,W))
+    out[c, k]        = sum_w row_mix[c, k, w] * W_col[k, w]   (VPU reduce)
+
+where W_row has at most two nonzeros per row ((1-fy) at floor(v), fy at
+floor(v)+1) and W_col likewise for u — exactly one nonzero each in floor
+(nearest) mode. The dense (K, H) one-hot is tiny, the matmul rides the MXU at
+full throughput, and all channels (DT, dGx, dGy) share one contraction.
+
+This is the same trade the reference's cuBLAS experiment gestured at
+(/root/reference/src/cuda.cu:169-214) done for the real bottleneck.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PREC_HI = jax.lax.Precision.HIGHEST
+
+
+def _row_weights(coord: jnp.ndarray, n: int, bilinear: bool, dtype) -> jnp.ndarray:
+    """(K,) fractional coordinates -> (K, n) interpolation weight matrix."""
+    c = jnp.clip(coord, 0.0, n - 1.0)
+    i0 = jnp.floor(c)
+    frac = (c - i0).astype(dtype)
+    i0i = i0.astype(jnp.int32)
+    i1i = jnp.minimum(i0i + 1, n - 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (coord.shape[0], n), 1)
+    if bilinear:
+        w = jnp.where(iota == i0i[:, None], (1.0 - frac)[:, None], 0.0)
+        w = jnp.where(iota == i1i[:, None], w + frac[:, None], w)
+    else:
+        w = jnp.where(iota == i0i[:, None], 1.0, 0.0).astype(dtype)
+    return w.astype(dtype)
+
+
+def gather_channels_mm(
+    imgs: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    bilinear: bool = True,
+    precision=None,
+) -> jnp.ndarray:
+    """Sample `imgs` (C, H, W) at points (u (K,), v (K,)) -> (C, K).
+
+    `bilinear=False` reproduces the floor-lookup semantics of the reference's
+    DT sampling (/root/reference/src/SolveDVO.cpp:446) exactly (one-hot
+    weights are exact in any float dtype).
+
+    Note on i1 clamping: at v == H-1 both one-hot entries land on the same
+    row and their weights sum to 1 (frac == 0 there after the clip), matching
+    clamped-edge bilinear sampling.
+    """
+    c, h, w_img = imgs.shape
+    dtype = imgs.dtype
+    w_row = _row_weights(v, h, bilinear, dtype)  # (K, H)
+    w_col = _row_weights(u, w_img, bilinear, dtype)  # (K, W)
+    # (K, H) @ (C, H, W) -> (C, K, W) on the MXU
+    row_mix = jnp.einsum(
+        "kh,chw->ckw", w_row, imgs, precision=precision
+    )
+    # (C, K, W) * (K, W) -> (C, K) on the VPU
+    return jnp.einsum("ckw,kw->ck", row_mix, w_col, precision=precision)
+
+
+def gather_floor_mm(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, precision=_PREC_HI):
+    """Floor-lookup gather of a single (H, W) image -> (K,). Exact."""
+    return gather_channels_mm(img[None], u, v, bilinear=False, precision=precision)[0]
+
+
+def gather_bilinear_mm(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, precision=None):
+    """Bilinear gather of a single (H, W) image -> (K,)."""
+    return gather_channels_mm(img[None], u, v, bilinear=True, precision=precision)[0]

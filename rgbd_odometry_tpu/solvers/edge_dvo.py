@@ -39,6 +39,7 @@ from rgbd_odometry_tpu.ops.canny import canny
 from rgbd_odometry_tpu.ops.distance_transform import distance_transform_of_edges
 from rgbd_odometry_tpu.ops.gradient import central_gradient
 from rgbd_odometry_tpu.ops.interp import gather_bilinear, gather_floor, gather_sqrt_bilinear
+from rgbd_odometry_tpu.ops.matmul_gather import gather_channels_mm
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -68,6 +69,7 @@ class NowLevel(NamedTuple):
     dgy: jnp.ndarray  # (H, W)
     edges: jnp.ndarray  # (H, W) bool (kept for viz/debug parity)
     scale: jnp.ndarray  # () DT units per pixel (1.0 when not normalized)
+    chans: jnp.ndarray  # (3, H, W) stacked [dt, dgx, dgy] in cfg.gather_dtype
 
 
 class LevelDiagnostics(NamedTuple):
@@ -143,7 +145,11 @@ def prepare_now_level(gray: jnp.ndarray, cfg: SolverConfig) -> NowLevel:
         dt = dt_raw
         scale = jnp.asarray(1.0, dt_raw.dtype)
     dgx, dgy = central_gradient(dt)
-    return NowLevel(dt=dt, dgx=dgx, dgy=dgy, edges=edges, scale=scale)
+    chan_dtype = jnp.bfloat16 if (
+        cfg.method == "gauss_newton" and cfg.gather_dtype == "bfloat16"
+    ) else dt.dtype
+    chans = jnp.stack([dt, dgx, dgy]).astype(chan_dtype)
+    return NowLevel(dt=dt, dgx=dgx, dgy=dgy, edges=edges, scale=scale, chans=chans)
 
 
 # --------------------------------------------------------------------------
@@ -151,13 +157,8 @@ def prepare_now_level(gray: jnp.ndarray, cfg: SolverConfig) -> NowLevel:
 # --------------------------------------------------------------------------
 
 
-def _project_and_sample(R, t, ref: RefLevel, now: NowLevel, intr: Intrinsics, cfg: SolverConfig):
-    """Warp + project + DT residual sampling (no Jacobian): the cheap pass.
-
-    Mirrors `getReprojectedEpsilons` (/root/reference/src/SolveDVO.cpp:425-462).
-    Returns (eps, wgt, visible, energy, vis_ratio, xn, yn, z, u, v).
-    """
-    dtype = ref.pts3d.dtype
+def _project(R, t, ref: RefLevel, now: NowLevel, intr: Intrinsics):
+    """Warp + project the ref edge points; returns geometry only."""
     h, w_img = now.dt.shape
     xp = jnp.einsum("kj,nk->nj", R, ref.pts3d - t, precision=_PREC)
     z = xp[..., 2]
@@ -167,29 +168,59 @@ def _project_and_sample(R, t, ref: RefLevel, now: NowLevel, intr: Intrinsics, cf
     u = intr.fx * xn + intr.cx
     v = intr.fy * yn + intr.cy
     visible = (u >= 0.0) & (u <= w_img) & (v >= 0.0) & (v <= h) & ref.valid
+    return xn, yn, z, u, v, visible
+
+
+def _sample_dt(now: NowLevel, u, v, cfg: SolverConfig):
+    """Single-channel DT residual sampling per the configured semantics."""
+    if cfg.gather_mode == "mxu":
+        if cfg.method == "gauss_newton":
+            return gather_channels_mm(now.chans[:1], u, v, bilinear=True)[0].astype(
+                now.dt.dtype
+            )
+        if cfg.interpolate_dt:
+            # reference's sqrt-of-squares == sqrt(bilinear(F^2)) (:1285-1308)
+            dt2 = gather_channels_mm((now.dt * now.dt)[None], u, v, bilinear=True)[0]
+            return jnp.sqrt(jnp.maximum(dt2, 0.0))
+        return gather_channels_mm(now.dt[None], u, v, bilinear=False, precision=_PREC)[0]
     if cfg.method == "gauss_newton":
         # GN needs a residual consistent with its interpolated gradients
-        eps_raw = gather_bilinear(now.dt, u, v)
-    elif cfg.interpolate_dt:
-        eps_raw = gather_sqrt_bilinear(now.dt, u, v)
-    else:
-        eps_raw = gather_floor(now.dt, u, v)
+        return gather_bilinear(now.dt, u, v)
+    if cfg.interpolate_dt:
+        return gather_sqrt_bilinear(now.dt, u, v)
+    return gather_floor(now.dt, u, v)
+
+
+def _project_and_sample(R, t, ref: RefLevel, now: NowLevel, intr: Intrinsics, cfg: SolverConfig):
+    """Warp + project + DT residual sampling (no Jacobian): the cheap pass.
+
+    Mirrors `getReprojectedEpsilons` (/root/reference/src/SolveDVO.cpp:425-462).
+    Returns (eps, wgt, visible, energy, vis_ratio, xn, yn, z, u, v).
+    """
+    dtype = ref.pts3d.dtype
+    xn, yn, z, u, v, visible = _project(R, t, ref, now, intr)
+    eps_raw = _sample_dt(now, u, v, cfg)
     eps = jnp.where(visible, eps_raw, 0.0)
-    if cfg.method == "gauss_newton":
-        # resolution-independent robust weights: residual in *pixels*. The
-        # reference's w(r)=6/(6+r^2/.25) on the 0-255-normalized DT kills any
-        # point >~0.5px off (scale ~15 units/px), freezing partial alignments;
-        # the GN path measures r in pixels instead (sigma^2 from config).
-        eps_px = eps / now.scale
-        wgt = jnp.where(
-            visible, 6.0 / (6.0 + eps_px * eps_px / cfg.gn_weight_sigma2_px), 0.0
-        )
-    else:
-        wgt = jnp.where(visible, 6.0 / (6.0 + eps * eps / cfg.weight_sigma2), 0.0)
+    wgt = _robust_weights(eps, visible, now, cfg)
     energy = jnp.sqrt(jnp.sum(eps * eps))  # aggregateEpsilons = ||eps|| (:1310-1320)
     n_valid = jnp.maximum(ref.count, 1)
     vis_ratio = jnp.sum(visible.astype(dtype)) / n_valid.astype(dtype)
     return eps, wgt, visible, energy, vis_ratio, xn, yn, z, u, v
+
+
+def _robust_weights(eps, visible, now: NowLevel, cfg: SolverConfig):
+    """w(r) = 6/(6 + r^2/sigma^2) (`getWeightOf`, src/SolveDVO.cpp:1047-1053).
+
+    gauss_newton mode measures r in *pixels* (resolution-independent): the
+    reference's sigma on the 0-255-normalized DT kills any point >~0.5px off
+    (scale ~15 units/px), freezing partial alignments.
+    """
+    if cfg.method == "gauss_newton":
+        eps_px = eps / now.scale
+        return jnp.where(
+            visible, 6.0 / (6.0 + eps_px * eps_px / cfg.gn_weight_sigma2_px), 0.0
+        )
+    return jnp.where(visible, 6.0 / (6.0 + eps * eps / cfg.weight_sigma2), 0.0)
 
 
 def _jacobian_residual(R, t, ref: RefLevel, now: NowLevel, intr: Intrinsics, cfg: SolverConfig):
@@ -209,20 +240,46 @@ def _jacobian_residual(R, t, ref: RefLevel, now: NowLevel, intr: Intrinsics, cfg
 
     Returns (J (K,6), eps (K,), w (K,), visible (K,), energy (), vis_ratio ()).
     """
-    eps, wgt, visible, energy, vis_ratio, xn, yn, z, u, v = _project_and_sample(
-        R, t, ref, now, intr, cfg
-    )
+    dtype = ref.pts3d.dtype
+    xn, yn, z, u, v, visible = _project(R, t, ref, now, intr)
     xp = jnp.stack([xn * z, yn * z, z], axis=-1)
 
-    if cfg.method == "gauss_newton":
-        # interpolated DT gradients: the floor-gathered gradient (reference
-        # semantics, G at integer pixel :392-394) is up to 1px away from the
-        # sampling point, which near the optimum dominates the step error
-        g0 = jnp.where(visible, gather_bilinear(now.dgx, u, v), 0.0)
-        g1 = jnp.where(visible, gather_bilinear(now.dgy, u, v), 0.0)
+    # interpolated DT gradients for GN: the floor-gathered gradient
+    # (reference semantics, G at integer pixel :392-394) is up to 1px away
+    # from the sampling point, which near the optimum dominates the step error
+    bilinear = cfg.method == "gauss_newton"
+    if cfg.gather_mode == "mxu":
+        # one fused 3-channel MXU gather: DT residual + both gradients
+        if bilinear:
+            sampled = gather_channels_mm(now.chans, u, v, bilinear=True).astype(
+                ref.pts3d.dtype
+            )
+            eps_raw, g0_raw, g1_raw = sampled[0], sampled[1], sampled[2]
+        else:
+            sampled = gather_channels_mm(
+                now.chans.astype(now.dt.dtype), u, v, bilinear=False, precision=_PREC
+            )
+            g0_raw, g1_raw = sampled[1], sampled[2]
+            if cfg.interpolate_dt:
+                dt2 = gather_channels_mm((now.dt * now.dt)[None], u, v, bilinear=True)[0]
+                eps_raw = jnp.sqrt(jnp.maximum(dt2, 0.0))
+            else:
+                eps_raw = sampled[0]
     else:
-        g0 = jnp.where(visible, gather_floor(now.dgx, u, v), 0.0)
-        g1 = jnp.where(visible, gather_floor(now.dgy, u, v), 0.0)
+        eps_raw = _sample_dt(now, u, v, cfg)
+        if bilinear:
+            g0_raw = gather_bilinear(now.dgx, u, v)
+            g1_raw = gather_bilinear(now.dgy, u, v)
+        else:
+            g0_raw = gather_floor(now.dgx, u, v)
+            g1_raw = gather_floor(now.dgy, u, v)
+    eps = jnp.where(visible, eps_raw, 0.0)
+    wgt = _robust_weights(eps, visible, now, cfg)
+    energy = jnp.sqrt(jnp.sum(eps * eps))
+    n_valid = jnp.maximum(ref.count, 1)
+    vis_ratio = jnp.sum(visible.astype(dtype)) / n_valid.astype(dtype)
+    g0 = jnp.where(visible, g0_raw, 0.0)
+    g1 = jnp.where(visible, g1_raw, 0.0)
 
     mode = cfg.jacobian_mode
     if mode == "auto":
