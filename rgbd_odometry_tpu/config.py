@@ -153,6 +153,40 @@ class SolverConfig:
 
 
 @dataclass(frozen=True)
+class PhotometricConfig:
+    """Legacy dense photometric DVO (`RGBDOdometry`) constants.
+
+    Defaults mirror /root/reference/src/RGBDOdometry.cpp:32-34 and the event
+    loop's schedule (:162-164): gradient threshold 5, 3 GN iterations per
+    level, coarse levels (3, 2) only, early exit at ||eps|| < 200.
+    """
+
+    gradient_threshold: float = 5.0
+    iterations_per_level: int = 3
+    levels: Tuple[int, ...] = (3, 2)
+    eps_norm_exit: float = 200.0
+    min_depth_mm: float = 100.0
+    max_points: Tuple[int, ...] = (8192, 4096, 2048, 1024)
+    gather_mode: str = "mxu"  # "mxu" | "take"
+    # optional Huber robust weighting (BASELINE.json config 3)
+    use_huber: bool = False
+    huber_delta: float = 20.0
+    # trust clamp on each GN step: inverse-compositional GN with the normal
+    # matrix frozen at the keyframe overshoots on low-texture coarse levels
+    max_step: float = 0.02
+    # recompute A = J^T W J with the current robust weights every iteration
+    # (free on the MXU; False freezes A at the keyframe like the reference —
+    # and measures slightly better on the synthetic suite)
+    reweight_normal_matrix: bool = False
+    # bilinear intensity sampling (False = reference floor semantics, which
+    # also measures better against the forward-difference ref gradients)
+    bilinear: bool = False
+    # refresh reference keyframe every N frames (the reference's modulo knob,
+    # RGBDOdometry.cpp:146 — set to 10000 there, effectively first-frame-only)
+    ref_refresh_every: int = 10000
+
+
+@dataclass(frozen=True)
 class KeyframeConfig:
     """Keyframe / reference-frame refresh policy.
 

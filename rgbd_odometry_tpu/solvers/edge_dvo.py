@@ -111,6 +111,7 @@ def extract_ref_level(
     h, w = mask.shape
     flat = mask.reshape(-1)
     count = jnp.sum(flat.astype(jnp.int32))
+    k_max = min(k_max, h * w)  # coarse levels can be smaller than the cap
     # top-K of the 0/1 mask: lax.top_k is stable -> lowest flat (row-major)
     # indices first, a deterministic subset of the reference's enumeration
     score, idx = jax.lax.top_k(flat.astype(jnp.float32), k_max)
