@@ -144,6 +144,9 @@ class SolverConfig:
     # gauss_newton mode: "bfloat16" doubles MXU throughput at ~0.04px residual
     # rounding (DT spans 0-255); subgradient parity mode always uses float32
     gather_dtype: str = "bfloat16"
+    # distance-transform min-plus backend: "xla" (fused broadcast+reduce) or
+    # "pallas" (explicit VMEM-staged kernel, rgbd_odometry_tpu.pallas.edt)
+    edt_backend: str = "xla"
     # Jacobian flavour: "reference" reproduces the dehomogenized-coordinate
     # quirk of /root/reference/src/SolveDVO.cpp:340-401 (translation block
     # scaled by each point's depth — fine for a sub-gradient direction);

@@ -134,7 +134,13 @@ def prepare_now_level(gray: jnp.ndarray, cfg: SolverConfig) -> NowLevel:
     normalization, central-difference gradients of the DT.
     """
     edges = canny(gray, cfg.canny_low, cfg.canny_high)
-    dt_raw = distance_transform_of_edges(edges, normalize=False)
+    if cfg.edt_backend == "pallas":
+        from rgbd_odometry_tpu.pallas.edt import edt_l2_squared_pallas
+
+        interp = jax.default_backend() != "tpu"
+        dt_raw = jnp.sqrt(edt_l2_squared_pallas(edges, interpret=interp))
+    else:
+        dt_raw = distance_transform_of_edges(edges, normalize=False)
     if cfg.normalize_dt:
         from rgbd_odometry_tpu.ops.distance_transform import normalize_minmax
 
