@@ -1,0 +1,343 @@
+"""Command-line interface: the reference's 12 catkin executables as one CLI.
+
+Reference executables (/root/reference/CMakeLists.txt:135-221) and their
+subcommands here:
+
+  dvo (src/dvo.cpp)                  -> `dvo`          edge-DVO odometry run
+  dvo dry loop (loopDry)             -> `dvo --dry`    ingest + GT only
+  rgbdSubsc (src/rgbdSubscriber.cpp) -> `photometric`  legacy dense DVO run
+  pnp (src/pnp.cpp)                  -> `pnp`          chessboard GN-PnP demo
+  opencvpnp (src/opencvpnp.cpp)      -> `feature-vo`   sparse feature VO run
+  imuDR (src/imuDRMain.cpp)          -> `imu`          dead-reckoning over a csv
+  publisher/publisherPyd (ingest)    -> `--source synthetic|tum:<dir>` flags
+  camTopic2PublisherPyD (converter)  -> built into the TUM source + `calib`
+  bagManip (frame skipper)           -> `--skip N` flag
+  loadGTPath (GT file publisher)     -> `eval` (ATE/RPE/drift vs GT file)
+  cuda_node (JtJ experiment)         -> `bench` (the real batched kernel)
+  imuTest/tfPlay scratch mains       -> covered by tests/test_geometry.py
+
+Run `python -m rgbd_odometry_tpu.cli <subcommand> --help`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _make_source(args):
+    from rgbd_odometry_tpu.io.stream import SyntheticCamera, TumSource, skip_frames
+
+    if args.source.startswith("tum:"):
+        src = TumSource(args.source[4:], start=args.start, end=args.end)
+        cam = None
+        if args.calib:
+            from rgbd_odometry_tpu.io.calib import read_calib_xml
+
+            cam = read_calib_xml(args.calib)
+        frames = src.frames()
+        gt = None
+    else:
+        from rgbd_odometry_tpu.config import CameraConfig
+
+        cam = CameraConfig()
+        synth = SyntheticCamera(cam, num_frames=args.frames)
+        frames = synth.frames()
+        gt = synth.ground_truth()
+    if args.skip > 1:
+        frames = skip_frames(frames, args.skip)
+    return frames, cam, gt
+
+
+def _add_source_args(p):
+    p.add_argument("--source", default="synthetic", help="'synthetic' or 'tum:<dir>'")
+    p.add_argument("--frames", type=int, default=30, help="synthetic frame count")
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=None)
+    p.add_argument("--skip", type=int, default=1, help="keep every Nth frame (bagManip harness)")
+    p.add_argument("--calib", default=None, help="OpenCV-XML calibration file")
+    p.add_argument("--out", default=None, help="TUM-format trajectory output path")
+
+
+def cmd_dvo(args):
+    from rgbd_odometry_tpu.config import (
+        CameraConfig,
+        KeyframeConfig,
+        PipelineConfig,
+        SolverConfig,
+    )
+    from rgbd_odometry_tpu.pipeline.odometry import EdgeDvoOdometry
+
+    frames, cam, gt = _make_source(args)
+    cfg = PipelineConfig(
+        camera=cam or CameraConfig(),
+        solver=SolverConfig(
+            method=args.method,
+            iterations=tuple(int(x) for x in args.iterations.split(",")),
+        ),
+        keyframe=KeyframeConfig(force_every=args.keyframe_every),
+    )
+    odo = EdgeDvoOdometry(cfg)
+    n = 0
+    for gray, depth, ts in frames:
+        if args.dry:
+            n += 1
+            continue
+        odo.process_frame(gray, depth, ts)
+        n += 1
+        m = odo.metrics[-1]
+        print(
+            f"frame {m.frame_num:4d}  {m.solve_ms:7.1f} ms  E={m.best_energy:9.2f} "
+            f"vis={m.visible_ratio:.2f} b^={m.b_cap:6.2f} kf={m.keyframe_reason}",
+            file=sys.stderr,
+        )
+    if args.dry:
+        print(f"dry loop: ingested {n} frames", file=sys.stderr)
+        return
+    print(f"avg solve: {odo.average_solve_ms():.2f} ms over {n} frames", file=sys.stderr)
+    R, t, ts = odo.trajectory()
+    if args.out:
+        from rgbd_odometry_tpu.io.tum import write_trajectory
+
+        write_trajectory(args.out, R, t, ts)
+        print(f"trajectory -> {args.out}", file=sys.stderr)
+    if gt is not None:
+        from rgbd_odometry_tpu.eval.ate import ate_rmse, drift_stats
+
+        gt_R, gt_t = gt
+        n2 = min(len(t), len(gt_t))
+        ds = drift_stats(t[:n2], gt_t[:n2])
+        print(
+            json.dumps(
+                {
+                    "ate_rmse": ate_rmse(t[:n2], gt_t[:n2], align=False),
+                    "drift_mean_per_s": ds.mean,
+                    "drift_rms_per_s": ds.rms,
+                }
+            )
+        )
+
+
+def cmd_photometric(args):
+    import jax.numpy as jnp
+
+    from rgbd_odometry_tpu.config import CameraConfig, PhotometricConfig
+    from rgbd_odometry_tpu.core.camera import Intrinsics
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+    from rgbd_odometry_tpu.pipeline.gop import Gop, REASON_FIRST_FRAME
+    from rgbd_odometry_tpu.solvers import photometric
+
+    frames, cam, gt = _make_source(args)
+    cam = cam or CameraConfig()
+    intr = Intrinsics.from_config(cam)
+    cfg = PhotometricConfig(use_huber=args.huber)
+    gop = Gop()
+    refs = None
+    n_levels = 4
+    for i, (gray, depth, ts) in enumerate(frames):
+        pyr = build_pyramid(jnp.asarray(gray), jnp.asarray(depth), n_levels)
+        if i % cfg.ref_refresh_every == 0:
+            refs = photometric.extract_photo_ref(pyr.gray, pyr.depth, intr, cfg, cfg.max_points)
+            gop.push_keyframe(i, REASON_FIRST_FRAME, np.eye(3), np.zeros(3), ts)
+            continue
+        R, t, hist = photometric.solve_pyramid(refs, pyr.gray, intr, cfg)
+        gop.push_ordinary(i, np.asarray(R), np.asarray(t), ts)
+        print(f"frame {i:4d}  |eps| {float(list(hist.values())[-1][-1]):9.1f}", file=sys.stderr)
+    R, t, ts = gop.poses()
+    if args.out:
+        from rgbd_odometry_tpu.io.tum import write_trajectory
+
+        write_trajectory(args.out, R, t, ts)
+
+
+def cmd_feature_vo(args):
+    from rgbd_odometry_tpu.config import CameraConfig
+    from rgbd_odometry_tpu.pipeline.feature_vo import FeatureVo, FeatureVoConfig
+
+    frames, cam, gt = _make_source(args)
+    vo = FeatureVo(cam or CameraConfig(), FeatureVoConfig(min_good_matches=args.min_matches))
+    for i, (gray, depth, ts) in enumerate(frames):
+        vo.process_frame(gray, depth, ts)
+        print(f"frame {i:4d}  good matches {vo.match_counts[-1]}", file=sys.stderr)
+    R, t, ts = vo.trajectory()
+    if args.out:
+        from rgbd_odometry_tpu.io.tum import write_trajectory
+
+        write_trajectory(args.out, R, t, ts)
+
+
+def cmd_pnp(args):
+    """Chessboard GN-PnP demo on a synthetic board (the `pnp` node's role)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rgbd_odometry_tpu.config import CameraConfig
+    from rgbd_odometry_tpu.core import geometry as geo
+    from rgbd_odometry_tpu.core.camera import Intrinsics
+    from rgbd_odometry_tpu.solvers import pnp
+
+    cam = CameraConfig()
+    intr = Intrinsics.from_config(cam)
+    obj = jnp.asarray(pnp.chessboard_object_points(6, 9, 0.05))
+    obj = obj + jnp.asarray([0.0, 0.0, 1.5])
+    psi_gt = np.array([0.08, -0.05, 0.03, 0.05, -0.06, 0.04], np.float32)
+    R_gt, t_gt = geo.se3_exp(jnp.asarray(psi_gt))
+    pb = jnp.einsum("kj,nk->nj", R_gt, obj - t_gt)
+    imn_gt = pb[:, :2] / pb[:, 2:3]
+    R, t, rnorms = pnp.gn_pnp(obj, imn_gt, jnp.ones(obj.shape[0], bool), iterations=5)
+    print(
+        json.dumps(
+            {
+                "residual_norms": [round(float(x), 6) for x in np.asarray(rnorms)],
+                "t_err": float(np.linalg.norm(np.asarray(t) - np.asarray(t_gt))),
+            }
+        )
+    )
+
+
+def cmd_imu(args):
+    import jax.numpy as jnp
+
+    from rgbd_odometry_tpu.solvers import imu
+
+    if args.csv:
+        data = np.loadtxt(args.csv, delimiter=",")  # t, ax..az, wx..wz
+        accels, gyros = data[:, 1:4], data[:, 4:7]
+    else:
+        t = np.arange(args.steps)
+        accels = np.zeros((args.steps, 3))
+        gyros = np.tile([0.0, 0.0, 0.1], (args.steps, 1))
+    intr = imu.ImuIntrinsics.from_scalars(
+        accel_bias=args.accel_bias, gyro_bias=args.gyro_bias
+    )
+    final, traj = imu.propagate_batch(
+        imu.ImuState.identity(), jnp.asarray(accels, jnp.float32), jnp.asarray(gyros, jnp.float32), intr
+    )
+    print(
+        json.dumps(
+            {
+                "final_p": [float(x) for x in np.asarray(final.p)],
+                "final_q": [float(x) for x in np.asarray(final.q)],
+                "steps": int(accels.shape[0]),
+            }
+        )
+    )
+
+
+def cmd_eval(args):
+    from rgbd_odometry_tpu.eval.ate import ate_rmse, drift_stats, rpe
+    from rgbd_odometry_tpu.io.tum import read_trajectory
+
+    R_e, t_e, ts_e = read_trajectory(args.est)
+    R_g, t_g, ts_g = read_trajectory(args.gt, skip_lines=args.gt_skip, rebase=args.rebase)
+    n = min(len(t_e), len(t_g))
+    tr, rr = rpe(R_e[:n], t_e[:n], R_g[:n], t_g[:n])
+    ds = drift_stats(t_e[:n], t_g[:n])
+    print(
+        json.dumps(
+            {
+                "ate_rmse_aligned": ate_rmse(t_e[:n], t_g[:n], align=True),
+                "ate_rmse_raw": ate_rmse(t_e[:n], t_g[:n], align=False),
+                "rpe_trans_rmse": tr,
+                "rpe_rot_rmse": rr,
+                "drift_mean_per_s": ds.mean,
+                "drift_median_per_s": ds.median,
+                "drift_rms_per_s": ds.rms,
+                "frames": n,
+            }
+        )
+    )
+
+
+def cmd_calib(args):
+    from rgbd_odometry_tpu.config import CameraConfig
+    from rgbd_odometry_tpu.io.calib import read_calib_xml, write_freiburg_pair
+
+    if args.write_freiburg:
+        cam = CameraConfig(width=640, height=480, fx=525.0, fy=525.0, cx=319.5, cy=239.5)
+        paths = write_freiburg_pair(args.write_freiburg, cam)
+        print(json.dumps({"written": list(paths)}))
+    else:
+        cam = read_calib_xml(args.file)
+        print(json.dumps(dataclasses.asdict(cam)))
+
+
+def cmd_bench(args):
+    import bench
+
+    sys.argv = ["bench.py", str(args.batch)]
+    bench.main()
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat CLI invocations skip the
+    20-40 s first-compile (the reference's C++ binaries had no such cost;
+    this removes ours)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/rgbd_odometry_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    _enable_compilation_cache()
+    ap = argparse.ArgumentParser(prog="rgbd-odometry-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("dvo", help="edge-DVO odometry (the reference's dvo node)")
+    _add_source_args(p)
+    p.add_argument("--method", default="gauss_newton", choices=["gauss_newton", "subgradient"])
+    p.add_argument("--iterations", default="18,6,4,3")
+    p.add_argument("--keyframe-every", type=int, default=5)
+    p.add_argument("--dry", action="store_true", help="ingest-only (loopDry)")
+    p.set_defaults(fn=cmd_dvo)
+
+    p = sub.add_parser("photometric", help="legacy dense DVO (rgbdSubsc node)")
+    _add_source_args(p)
+    p.add_argument("--huber", action="store_true")
+    p.set_defaults(fn=cmd_photometric)
+
+    p = sub.add_parser("feature-vo", help="sparse feature VO (opencvpnp node)")
+    _add_source_args(p)
+    p.add_argument("--min-matches", type=int, default=40)
+    p.set_defaults(fn=cmd_feature_vo)
+
+    p = sub.add_parser("pnp", help="chessboard GN-PnP demo (pnp node)")
+    p.set_defaults(fn=cmd_pnp)
+
+    p = sub.add_parser("imu", help="IMU dead reckoning (imuDR node)")
+    p.add_argument("--csv", default=None, help="csv with t,ax,ay,az,wx,wy,wz rows")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--accel-bias", type=float, default=0.0)
+    p.add_argument("--gyro-bias", type=float, default=0.0)
+    p.set_defaults(fn=cmd_imu)
+
+    p = sub.add_parser("eval", help="ATE/RPE/drift vs a GT trajectory (loadGTPath role)")
+    p.add_argument("est")
+    p.add_argument("gt")
+    p.add_argument("--gt-skip", type=int, default=0)
+    p.add_argument("--rebase", action="store_true")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("calib", help="read/write OpenCV-XML calibration files")
+    p.add_argument("--file", default=None)
+    p.add_argument("--write-freiburg", default=None, metavar="DIR")
+    p.set_defaults(fn=cmd_calib)
+
+    p = sub.add_parser("bench", help="batched-alignment throughput benchmark")
+    p.add_argument("--batch", type=int, default=32)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,18 +81,48 @@ class SyntheticCamera:
 
 @dataclass
 class TumSource:
-    """Replay a TUM RGB-D sequence directory (the rosbag + converter path)."""
+    """Replay a TUM RGB-D sequence directory (the rosbag + converter path).
+
+    With `native=True` (default) PNG decode runs in the C++ worker pool
+    (rgbd_odometry_tpu.io.native_loader) off the GIL; falls back to cv2.
+    """
 
     root: str
     half_res: bool = True
     start: int = 0
     end: Optional[int] = None
+    native: bool = True
+    vga_size: Tuple[int, int] = (640, 480)
 
     def frames(self):
+        import os
+
         from rgbd_odometry_tpu.io.tum import open_sequence
 
         seq = open_sequence(self.root)
         end = len(seq) if self.end is None else min(self.end, len(seq))
+        if self.native:
+            from rgbd_odometry_tpu.io import native_loader as nl
+
+            if nl.available():
+                entries = [
+                    (
+                        float(seq.timestamps[i]),
+                        os.path.join(self.root, seq.rgb_files[i]),
+                        os.path.join(self.root, seq.depth_files[i]),
+                    )
+                    for i in range(self.start, end)
+                ]
+                w, h = self.vga_size
+                loader = nl.NativeTumLoader(entries, w, h)
+                try:
+                    for gray, depth, ts in loader.frames():
+                        if self.half_res:
+                            gray, depth = gray[::2, ::2], depth[::2, ::2]
+                        yield gray, depth, ts
+                finally:
+                    loader.close()
+                return
         for i in range(self.start, end):
             gray, depth = seq.load_frame(i, half_res=self.half_res)
             yield gray, depth, float(seq.timestamps[i])

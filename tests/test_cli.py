@@ -1,0 +1,50 @@
+"""CLI smoke tests (the reference's 12-executable surface)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rgbd_odometry_tpu.cli import main
+
+
+def test_cli_pnp(capsys):
+    main(["pnp"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["t_err"] < 1e-4
+    assert out["residual_norms"][-1] < out["residual_norms"][0]
+
+
+def test_cli_imu(capsys):
+    main(["imu", "--steps", "50"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["steps"] == 50
+    assert np.isfinite(out["final_p"]).all()
+
+
+def test_cli_calib_roundtrip(tmp_path, capsys):
+    main(["calib", "--write-freiburg", str(tmp_path)])
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["written"]) == 2
+    main(["calib", "--file", str(tmp_path / "Freiburg_ROS_default_320x240.xml")])
+    cam = json.loads(capsys.readouterr().out)
+    assert cam["fx"] == pytest.approx(262.5)
+    assert cam["width"] == 320
+
+
+def test_cli_dvo_dry(capsys):
+    main(["dvo", "--frames", "4", "--dry"])
+    err = capsys.readouterr().err
+    assert "ingested 4 frames" in err
+
+
+def test_cli_dvo_and_eval(tmp_path, capsys):
+    est = str(tmp_path / "est.txt")
+    main(["dvo", "--frames", "5", "--iterations", "12,5,3,2", "--out", est])
+    out = capsys.readouterr()
+    stats = json.loads(out.out.strip().splitlines()[-1])
+    assert stats["ate_rmse"] < 0.02
+    main(["eval", est, est])
+    ev = json.loads(capsys.readouterr().out)
+    assert ev["ate_rmse_raw"] == 0.0
+    assert ev["frames"] == 5
