@@ -74,3 +74,32 @@ def test_graft_entry_single_and_multichip():
     R, t = jax.jit(fn)(*args)
     assert R.shape == (3, 3) and t.shape == (3,)
     ge.dryrun_multichip(8)
+
+
+def test_batched_sequence_alignment():
+    """Whole-sequence batched alignment (BASELINE config 4) on the CPU mesh."""
+    import numpy as np
+    from rgbd_odometry_tpu.config import CameraConfig, SolverConfig
+    from rgbd_odometry_tpu.core.camera import Intrinsics
+    from rgbd_odometry_tpu.io.synthetic import render_sequence
+    from rgbd_odometry_tpu.parallel import sequence as pseq
+
+    cam = CameraConfig(width=96, height=64, fx=100.0, fy=100.0, cx=47.5, cy=31.5)
+    ts = np.arange(6)
+    psis = np.stack(
+        [0.004 * ts, -0.003 * ts, 0.002 * ts, 0.001 * ts, -0.001 * ts, 0.0005 * ts], -1
+    ).astype(np.float32)
+    frames, poses = render_sequence(cam, psis, seed=0)
+    grays = [f[0] for f in frames]
+    depths = [f[1] for f in frames]
+    intr = Intrinsics.from_config(cam)
+    cfg = SolverConfig(method="gauss_newton", iterations=(10, 4))
+    for kf in [None, 3]:
+        R, t, rel_R, rel_t = pseq.align_sequence(
+            grays, depths, intr, cfg, max_points=(1024, 512), num_levels=2,
+            keyframe_every=kf, mesh=pmesh.make_mesh(),
+        )
+        gt_t = np.stack([p[1] for p in poses])
+        err = np.linalg.norm(t - gt_t, axis=-1)
+        motion = np.linalg.norm(gt_t[-1])
+        assert err[-1] < max(0.5 * motion, 0.02), (kf, err)
