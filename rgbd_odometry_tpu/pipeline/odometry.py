@@ -106,15 +106,26 @@ class EdgeDvoOdometry:
 
     # ------------------------------------------------------------------
     def process_frame(
-        self, gray0: np.ndarray, depth0_mm: np.ndarray, timestamp: float = 0.0
+        self,
+        gray0: np.ndarray,
+        depth0_mm: np.ndarray,
+        timestamp: float = 0.0,
+        pose_prior: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Feed one frame (level-0 gray + depth, as from the ingest node);
         returns the current global pose (R, t).
 
         Mirrors one iteration of `loop()`'s steady state
-        (/root/reference/src/SolveDVO.cpp:2032-2371).
+        (/root/reference/src/SolveDVO.cpp:2032-2371). `pose_prior`, if given,
+        is a delta (R, t) to compose onto the warm start — e.g. an
+        IMU-dead-reckoned inter-frame motion (BASELINE.json config 5).
         """
         self._frame_num += 1
+        if pose_prior is not None:
+            dR, dt = pose_prior
+            # warm start: previous relative pose composed with the prior delta
+            self._t = self._t + self._R @ np.asarray(dt, np.float64)
+            self._R = self._R @ np.asarray(dR, np.float64)
         pyr = build_pyramid(
             jnp.asarray(gray0, jnp.float32),
             jnp.asarray(depth0_mm, jnp.float32),

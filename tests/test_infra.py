@@ -165,3 +165,17 @@ def test_tracer():
     assert rep["matmul"]["count"] == 2
     assert rep["warm"]["mean_ms"] >= 0
     assert "matmul" in tr.dump()
+
+
+def test_pointcloud_export(tmp_path):
+    from rgbd_odometry_tpu.io.synthetic import render_pair
+    from rgbd_odometry_tpu.viz.pointcloud import frame_to_cloud, write_ply
+
+    (g, d), _, _ = render_pair(CAM, np.zeros(6, np.float32))
+    pts, inten = frame_to_cloud(g, d, CAM.fx, CAM.fy, CAM.cx, CAM.cy, stride=4)
+    assert pts.shape[1] == 3 and len(pts) == len(inten) and len(pts) > 100
+    assert pts[:, 2].min() > 0.1  # all in front of the camera
+    p = str(tmp_path / "cloud.ply")
+    write_ply(p, pts, inten)
+    head = open(p).read(200)
+    assert "element vertex" in head

@@ -162,3 +162,72 @@ def test_rpe_and_umeyama():
     # rotational RPE of identical f32 rotations: arccos near 1 is sqrt(eps)-
     # conditioned, so ~1e-3 is the float32 floor, not an error
     assert tr < 1e-9 and rr < 5e-3
+
+
+def test_quality_triggers_fire_on_scene_cut():
+    """The reference's disabled-but-present quality triggers
+    (/root/reference/src/SolveDVO.cpp:2129-2152) are switchable here: a hard
+    scene cut must trip them and promote a keyframe."""
+    from rgbd_odometry_tpu.io.synthetic import render_pair
+
+    cfg = PipelineConfig(
+        camera=CAM,
+        pyramid=PyramidConfig(num_levels=3, max_points=(2048, 1024, 512)),
+        solver=SolverConfig(method="gauss_newton", iterations=(15, 5, 3)),
+        keyframe=KeyframeConfig(
+            force_every=50, enable_quality_triggers=True, laplacian_b_thresh=3.0
+        ),
+    )
+    odo = EdgeDvoOdometry(cfg)
+    (g0, d0), (g1, d1), _ = render_pair(
+        CAM, np.array([0.004, -0.002, 0.001, 0.001, -0.001, 0.0005], np.float32), seed=0
+    )
+    odo.process_frame(g0, d0, 0.0)
+    odo.process_frame(g1, d1, 1.0)
+    # scene cut: a completely different scene -> residuals blow up
+    (g_cut, d_cut), _, _ = render_pair(CAM, np.zeros(6, np.float32), seed=9)
+    odo.process_frame(g_cut, d_cut, 2.0)
+    reasons = [m.keyframe_reason for m in odo.metrics]
+    assert any(r in (2, 3, 4) for r in reasons), reasons
+
+
+def test_fused_pipeline_imu_prior_and_fallback():
+    """BASELINE config 5: IMU prior seeds each solve; a scene cut triggers
+    the sparse-PnP fallback path."""
+    from rgbd_odometry_tpu.io.synthetic import render_sequence
+    from rgbd_odometry_tpu.pipeline.fused import FusedConfig, FusedOdometry
+
+    psis = _trajectory(n=6)
+    frames, poses = render_sequence(CAM, psis, seed=0)
+    cfg = _config()
+    fused = FusedOdometry(cfg, FusedConfig(min_pnp_matches=6))
+    # constant-rate gyro window consistent with the trajectory step
+    for i, (g, d) in enumerate(frames):
+        imu_win = (np.zeros((10, 3), np.float32), np.zeros((10, 3), np.float32), 0.01)
+        fused.process_frame(g, d, float(i), imu_window=imu_win)
+    R_est, t_est, _ = fused.trajectory()
+    gt_t = np.stack([p[1] for p in poses])
+    err = np.linalg.norm(t_est - gt_t, axis=-1)
+    assert err[-1] < max(0.6 * np.linalg.norm(gt_t[-1]), 0.008), err
+    assert len(fused.fallback_frames) == 0  # clean sequence: no fallback
+
+
+def test_fused_fallback_fires():
+    """Force the quality gate (b-hat threshold 0) so every frame falls back
+    to the sparse-PnP path; the trajectory must stay sane."""
+    from rgbd_odometry_tpu.io.synthetic import render_sequence
+    from rgbd_odometry_tpu.pipeline.fused import FusedConfig, FusedOdometry
+
+    psis = _trajectory(n=4)
+    frames, poses = render_sequence(CAM, psis, seed=0)
+    fused = FusedOdometry(
+        _config(),
+        FusedConfig(laplacian_b_thresh=0.0, min_pnp_matches=5),
+    )
+    for i, (g, d) in enumerate(frames):
+        fused.process_frame(g, d, float(i))
+    assert len(fused.fallback_frames) >= 1, "fallback never fired"
+    _, t_est, _ = fused.trajectory()
+    gt_t = np.stack([p[1] for p in poses])
+    err = np.linalg.norm(t_est - gt_t, axis=-1)
+    assert err[-1] < 0.12, err  # sparse path is coarse but not divergent
