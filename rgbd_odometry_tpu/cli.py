@@ -266,6 +266,50 @@ def cmd_calib(args):
         print(json.dumps(dataclasses.asdict(cam)))
 
 
+def cmd_probe(args):
+    """Two-frame convergence probe — `casualTestFunction` parity
+    (/root/reference/src/SolveDVO.cpp:2377-2442): align one frame pair at one
+    level for N iterations and print the energy-per-iteration curve."""
+    import jax.numpy as jnp
+
+    from rgbd_odometry_tpu.config import CameraConfig, SolverConfig
+    from rgbd_odometry_tpu.core.camera import Intrinsics
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+    from rgbd_odometry_tpu.io.synthetic import render_pair
+    from rgbd_odometry_tpu.solvers import edge_dvo
+
+    cam = CameraConfig()
+    intr = Intrinsics.from_config(cam)
+    psi = np.array([0.012, -0.008, 0.006, 0.004, -0.005, 0.003], np.float32)
+    (rg, rd), (ng, nd), _ = render_pair(cam, psi, seed=args.seed)
+    ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), args.level + 1)
+    now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), args.level + 1)
+    cfg = SolverConfig(method=args.method)
+    max_pts = (4096, 2048, 1024, 512)[: args.level + 1]
+    feats = edge_dvo.extract_ref_features(ref.gray, ref.depth, intr, cfg, max_pts)
+    tgts = edge_dvo.prepare_now_targets(now.gray, cfg)
+    import jax as _jax
+
+    R0 = jnp.eye(3)
+    t0 = jnp.zeros(3)
+    _, _, diag = edge_dvo.run_level(
+        feats[args.level], tgts[args.level], intr.at_level(args.level),
+        R0, t0, cfg, args.iterations,
+    )
+    e = np.asarray(diag.energy)
+    print(
+        json.dumps(
+            {
+                "level": args.level,
+                "energy": [round(float(x), 3) for x in e],
+                "best_iter": int(diag.best_iter),
+                "best_energy": round(float(diag.best_energy), 3),
+                "visible_ratio": round(float(diag.visible_ratio), 4),
+            }
+        )
+    )
+
+
 def cmd_bench(args):
     import bench
 
@@ -330,6 +374,13 @@ def main(argv=None):
     p.add_argument("--file", default=None)
     p.add_argument("--write-freiburg", default=None, metavar="DIR")
     p.set_defaults(fn=cmd_calib)
+
+    p = sub.add_parser("probe", help="two-frame energy-curve probe (casualTestFunction)")
+    p.add_argument("--level", type=int, default=0)
+    p.add_argument("--iterations", type=int, default=100)
+    p.add_argument("--method", default="subgradient", choices=["subgradient", "gauss_newton"])
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_probe)
 
     p = sub.add_parser("bench", help="batched-alignment throughput benchmark")
     p.add_argument("--batch", type=int, default=32)

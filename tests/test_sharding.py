@@ -103,3 +103,36 @@ def test_batched_sequence_alignment():
         err = np.linalg.norm(t - gt_t, axis=-1)
         motion = np.linalg.norm(gt_t[-1])
         assert err[-1] < max(0.5 * motion, 0.02), (kf, err)
+
+
+def test_multihost_window_stitching():
+    """Window split + trajectory stitching (multi-host sequence sweep,
+    single-process degenerate form)."""
+    import numpy as np
+    from rgbd_odometry_tpu.parallel import multihost as mh
+    from rgbd_odometry_tpu.core import geometry as geo
+    import jax.numpy as jnp
+
+    mh.initialize()  # no-op single process
+    wins = mh.shard_sequence_windows(20, window=8, overlap=1)
+    assert wins[0] == (0, 8) and wins[1][0] == 7
+    assert wins[-1][1] == 20
+    # fabricate a global trajectory, cut into windows, stitch back
+    psis = np.cumsum(np.random.default_rng(0).standard_normal((20, 6)) * 0.01, 0).astype(np.float32)
+    R_g, t_g = geo.se3_exp(jnp.asarray(psis))
+    R_g = np.asarray(R_g, np.float64)
+    t_g = np.asarray(t_g, np.float64)
+    results = []
+    for s, e in wins:
+        # window-relative: rebase to the window's first pose
+        R0, t0 = R_g[s], t_g[s]
+        R_w = np.einsum("ij,tjk->tik", R0.T, R_g[s:e])
+        t_w = np.einsum("ij,tj->ti", R0.T, t_g[s:e] - t0)
+        results.append((R_w, t_w))
+    R_st, t_st = mh.stitch_windows(results, overlap=1)
+    # stitched should reproduce the rebased-global trajectory
+    R_ref = np.einsum("ij,tjk->tik", R_g[0].T, R_g)
+    t_ref = np.einsum("ij,tj->ti", R_g[0].T, t_g - t_g[0])
+    assert len(t_st) == 20
+    np.testing.assert_allclose(t_st, t_ref, atol=1e-5)
+    np.testing.assert_allclose(R_st, R_ref, atol=1e-5)
