@@ -39,6 +39,7 @@ from rgbd_odometry_tpu.ops.canny import canny
 from rgbd_odometry_tpu.ops.distance_transform import distance_transform_of_edges
 from rgbd_odometry_tpu.ops.gradient import central_gradient
 from rgbd_odometry_tpu.ops.interp import gather_bilinear, gather_floor, gather_sqrt_bilinear
+from rgbd_odometry_tpu.ops.linalg6 import chol_solve6
 from rgbd_odometry_tpu.ops.matmul_gather import gather_channels_mm
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -517,7 +518,7 @@ def _lm_psi(state: _LevelState, J, eps, wgt, cfg: SolverConfig):
     H = jnp.einsum("ni,nj->ij", Jw, J, precision=_PREC)
     g = jnp.einsum("nj,n->j", Jw, eps, precision=_PREC)
     diag = jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-8))
-    psi = -jnp.linalg.solve(H + state.lm_lambda * diag, g)
+    psi = -chol_solve6(H + state.lm_lambda * diag, g)
     norm = jnp.linalg.norm(psi)
     scale = jnp.where(
         norm > cfg.lm_trust_region, cfg.lm_trust_region / jnp.maximum(norm, 1e-30), 1.0

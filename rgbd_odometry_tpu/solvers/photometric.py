@@ -45,6 +45,7 @@ from rgbd_odometry_tpu.config import PhotometricConfig
 from rgbd_odometry_tpu.core import geometry as geo
 from rgbd_odometry_tpu.core.camera import Intrinsics
 from rgbd_odometry_tpu.ops.gradient import central_gradient
+from rgbd_odometry_tpu.ops.linalg6 import chol_solve6
 from rgbd_odometry_tpu.ops.matmul_gather import gather_channels_mm
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -195,7 +196,7 @@ def solve_level(
             A = A + 1e-6 * jnp.maximum(jnp.trace(A), 1.0) / 6.0 * jnp.eye(6, dtype=A.dtype)
         else:
             A = ref.A
-        psi = jnp.linalg.solve(A, b[..., None])[..., 0]
+        psi = chol_solve6(A, b)
         pn = jnp.linalg.norm(psi)
         psi = psi * jnp.where(pn > cfg.max_step, cfg.max_step / jnp.maximum(pn, 1e-30), 1.0)
         xR, xt = geo.se3_exp(psi)

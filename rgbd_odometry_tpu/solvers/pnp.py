@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from rgbd_odometry_tpu.core import geometry as geo
 from rgbd_odometry_tpu.core.camera import Intrinsics
+from rgbd_odometry_tpu.ops.linalg6 import chol_solve6
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -67,7 +68,7 @@ def gn_pnp_step(obj_pts, im_pts_norm, R, t, valid):
     g = jnp.einsum("kri,kr->i", J, r, precision=_PREC)
     # reference: H=-sum(J^T J); e=sum(J^T r); del = H^-1 e  == -(JtJ)^-1 Jt r
     H = H + 1e-9 * jnp.eye(6, dtype=H.dtype)
-    delta = -jnp.linalg.solve(H, g[..., None])[..., 0]
+    delta = -chol_solve6(H, g)
     xR, xt = geo.se3_exp(delta)
     t_new = t + jnp.einsum("ij,j->i", R, xt, precision=_PREC)
     R_new = jnp.matmul(R, xR, precision=_PREC)
