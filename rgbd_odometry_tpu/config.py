@@ -135,6 +135,10 @@ class SolverConfig:
     # trust radius for the gauss_newton method: larger than the sub-gradient
     # radius (0.003) because adaptive lambda already rejects bad steps
     lm_trust_region: float = 0.01
+    # LM accept/reject evaluates the proposed pose on every Nth point only
+    # (the decision is a statistical comparison; the strided residual pass
+    # costs 1/N of the full gather). 1 = evaluate on all points.
+    lm_proposal_stride: int = 4
     # image sampling backend: "mxu" = separable one-hot matmul gathers (TPU
     # point-gathers serialize per element; the MXU formulation is ~100x
     # faster), "take" = jnp.take_along_axis (exact reference semantics,

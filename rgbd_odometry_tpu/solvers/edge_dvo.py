@@ -375,6 +375,19 @@ def run_level(
         dtype,
     )
     lm_mode = cfg.method == "gauss_newton"
+    stride = max(1, int(cfg.lm_proposal_stride)) if lm_mode else 1
+    if lm_mode and stride > 1:
+        # subsampled point set for the LM accept/reject pass only (the
+        # decision compares two energies on the SAME subset, so the 1/stride
+        # gather is statistically sufficient and 1/stride the cost)
+        ref_sub = RefLevel(
+            pts3d=ref.pts3d[::stride],
+            uv=ref.uv[::stride],
+            valid=ref.valid[::stride],
+            count=jnp.maximum(ref.count // stride, 1),
+        )
+    else:
+        ref_sub = ref
 
     def body(state: _LevelState, itr):
         J, eps, wgt, visible, energy, vis_ratio = _jacobian_residual(
@@ -410,12 +423,16 @@ def run_level(
             # singular along translation/rotation-ambiguous directions; a
             # fixed small damping lets those directions blow up.)
             _, _, _, e_new, _, _, _, _, _, _ = _project_and_sample(
-                new_R, new_t, ref, now, intr_level, cfg
+                new_R, new_t, ref_sub, now, intr_level, cfg
             )
-            accept = e_new < energy
+            if stride > 1:
+                e_cur = jnp.sqrt(jnp.sum(eps[::stride] * eps[::stride]))
+            else:
+                e_cur = energy
+            accept = e_new < e_cur
             # exact ties (quantized coarse-level plateaus) neither move nor
             # raise lambda — raising it would deadlock psi at ~0
-            worse = e_new > energy
+            worse = e_new > e_cur
             lam = jnp.where(
                 accept,
                 jnp.maximum(state.lm_lambda / 3.0, 1e-8),
