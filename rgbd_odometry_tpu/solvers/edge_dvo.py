@@ -375,7 +375,13 @@ def run_level(
         dtype,
     )
     lm_mode = cfg.method == "gauss_newton"
-    stride = max(1, int(cfg.lm_proposal_stride)) if lm_mode else 1
+    # keep >= 512 points in the strided accept/reject pass: tiny capacities
+    # (coarse levels, small images) need the full set for a stable decision
+    stride = (
+        max(1, min(int(cfg.lm_proposal_stride), ref.pts3d.shape[0] // 512))
+        if lm_mode
+        else 1
+    )
     if lm_mode and stride > 1:
         # subsampled point set for the LM accept/reject pass only (the
         # decision compares two energies on the SAME subset, so the 1/stride
