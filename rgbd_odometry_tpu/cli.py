@@ -73,15 +73,21 @@ def cmd_dvo(args):
     from rgbd_odometry_tpu.pipeline.odometry import EdgeDvoOdometry
 
     frames, cam, gt = _make_source(args)
-    cfg = PipelineConfig(
-        camera=cam or CameraConfig(),
-        solver=SolverConfig(
-            method=args.method,
-            iterations=tuple(int(x) for x in args.iterations.split(",")),
-        ),
-        keyframe=KeyframeConfig(force_every=args.keyframe_every),
-    )
-    odo = EdgeDvoOdometry(cfg)
+    if args.resume:
+        from rgbd_odometry_tpu.utils.checkpoint import load_odometry
+
+        odo = load_odometry(args.resume)
+        print(f"resumed at frame {odo._frame_num} from {args.resume}", file=sys.stderr)
+    else:
+        cfg = PipelineConfig(
+            camera=cam or CameraConfig(),
+            solver=SolverConfig(
+                method=args.method,
+                iterations=tuple(int(x) for x in args.iterations.split(",")),
+            ),
+            keyframe=KeyframeConfig(force_every=args.keyframe_every),
+        )
+        odo = EdgeDvoOdometry(cfg)
     n = 0
     for gray, depth, ts in frames:
         if args.dry:
@@ -98,6 +104,11 @@ def cmd_dvo(args):
     if args.dry:
         print(f"dry loop: ingested {n} frames", file=sys.stderr)
         return
+    if args.checkpoint:
+        from rgbd_odometry_tpu.utils.checkpoint import save_odometry
+
+        save_odometry(odo, args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
     print(f"avg solve: {odo.average_solve_ms():.2f} ms over {n} frames", file=sys.stderr)
     R, t, ts = odo.trajectory()
     if args.out:
@@ -324,8 +335,15 @@ def _enable_compilation_cache():
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/rgbd_odometry_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # TPU-class backends only: CPU compiles are fast, and XLA:CPU AOT
+        # artifacts reloaded across processes emit machine-feature-mismatch
+        # warnings on this host
+        backend = jax.default_backend()
+        if backend != "cpu":
+            jax.config.update(
+                "jax_compilation_cache_dir", f"/tmp/rgbd_odometry_tpu_jax_cache_{backend}"
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
@@ -341,6 +359,8 @@ def main(argv=None):
     p.add_argument("--iterations", default="18,6,4,3")
     p.add_argument("--keyframe-every", type=int, default=5)
     p.add_argument("--dry", action="store_true", help="ingest-only (loopDry)")
+    p.add_argument("--checkpoint", default=None, help="save odometry state snapshot at end")
+    p.add_argument("--resume", default=None, help="resume from a state snapshot")
     p.set_defaults(fn=cmd_dvo)
 
     p = sub.add_parser("photometric", help="legacy dense DVO (rgbdSubsc node)")
