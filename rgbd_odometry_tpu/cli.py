@@ -299,8 +299,6 @@ def cmd_probe(args):
     max_pts = (4096, 2048, 1024, 512)[: args.level + 1]
     feats = edge_dvo.extract_ref_features(ref.gray, ref.depth, intr, cfg, max_pts)
     tgts = edge_dvo.prepare_now_targets(now.gray, cfg)
-    import jax as _jax
-
     R0 = jnp.eye(3)
     t0 = jnp.zeros(3)
     _, _, diag = edge_dvo.run_level(

@@ -20,7 +20,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from rgbd_odometry_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from rgbd_odometry_tpu.parallel.mesh import make_mesh
 
 
 def initialize(

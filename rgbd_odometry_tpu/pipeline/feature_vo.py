@@ -14,7 +14,7 @@ TPU rebuild: Harris + patch descriptors + MXU matching
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

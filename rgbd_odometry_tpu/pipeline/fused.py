@@ -17,7 +17,7 @@ the reference only sketched across separate ROS nodes, wired into one driver:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax

@@ -14,7 +14,7 @@ the device solver once per frame; composition is cheap numpy in float64
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

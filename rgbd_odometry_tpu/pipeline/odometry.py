@@ -17,8 +17,7 @@ on device so a rollback re-solve costs one extra solve, no transfers.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax

@@ -26,7 +26,6 @@ reference semantics including its quirks (see `_jacobian_residual`).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -143,8 +142,6 @@ def prepare_now_level(gray: jnp.ndarray, cfg: SolverConfig) -> NowLevel:
     else:
         dt_raw = distance_transform_of_edges(edges, normalize=False)
     if cfg.normalize_dt:
-        from rgbd_odometry_tpu.ops.distance_transform import normalize_minmax
-
         dmin = jnp.min(dt_raw)
         dmax = jnp.max(dt_raw)
         scale = 255.0 / jnp.maximum(dmax - dmin, 1e-12)

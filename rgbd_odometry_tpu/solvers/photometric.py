@@ -44,7 +44,6 @@ import jax.numpy as jnp
 from rgbd_odometry_tpu.config import PhotometricConfig
 from rgbd_odometry_tpu.core import geometry as geo
 from rgbd_odometry_tpu.core.camera import Intrinsics
-from rgbd_odometry_tpu.ops.gradient import central_gradient
 from rgbd_odometry_tpu.ops.linalg6 import chol_solve6
 from rgbd_odometry_tpu.ops.matmul_gather import gather_channels_mm
 

@@ -21,8 +21,6 @@ if TYPE_CHECKING:
 
 def save_odometry(odo: "EdgeDvoOdometry", path: str) -> None:
     """Snapshot an EdgeDvoOdometry instance to `path` (.npz)."""
-    import jax
-
     arrays = {}
     meta = {
         "frame_num": odo._frame_num,
