@@ -179,3 +179,36 @@ def test_pointcloud_export(tmp_path):
     write_ply(p, pts, inten)
     head = open(p).read(200)
     assert "element vertex" in head
+
+
+def test_tum_source_roundtrip(tmp_path):
+    """On-disk TUM directory: association + loading through both the native
+    C++ loader and the cv2 fallback give the same frames."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    rgb_lines, depth_lines = [], []
+    for i in range(4):
+        t = 100.0 + i / 30.0
+        img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        d16 = rng.integers(100, 20000, (480, 640), dtype=np.uint16)
+        cv2.imwrite(str(tmp_path / "rgb" / f"{t:.6f}.png"), img)
+        cv2.imwrite(str(tmp_path / "depth" / f"{t:.6f}.png"), d16)
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        depth_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+    (tmp_path / "rgb.txt").write_text("\n".join(rgb_lines))
+    (tmp_path / "depth.txt").write_text("\n".join(depth_lines))
+
+    from rgbd_odometry_tpu.io.stream import TumSource
+
+    native = list(TumSource(str(tmp_path), native=True).frames())
+    fallback = list(TumSource(str(tmp_path), native=False).frames())
+    assert len(native) == len(fallback) == 4
+    for (g1, d1, t1), (g2, d2, t2) in zip(native, fallback):
+        assert t1 == pytest.approx(t2)
+        assert g1.shape == g2.shape == (240, 320)
+        # BT.601 gray conversions may differ by 1 rounding level
+        assert np.abs(g1 - g2).max() <= 1.0
+        np.testing.assert_allclose(d1, d2, atol=1e-3)
