@@ -53,6 +53,7 @@ class FrameMetrics:
     keyframe_reason: int  # 0 = ordinary frame
     rolled_back: bool = False
     energy_curve: Optional[np.ndarray] = None
+    diverged: bool = False  # NaN/non-finite estimate was rejected
 
 
 def residual_b_cap(epsilons: np.ndarray, count: int) -> float:
@@ -210,10 +211,18 @@ class EdgeDvoOdometry:
             self._prev_pyr = pyr
             return self.gop.global_pose(-1)
 
-        self._R = np.asarray(R, np.float64)
-        self._t = np.asarray(t, np.float64)
+        R_np = np.asarray(R, np.float64)
+        t_np = np.asarray(t, np.float64)
+        # failure detection: a non-finite estimate (degenerate frame, empty
+        # edge set) must never poison the trajectory — keep the previous
+        # relative pose and flag the frame (the reference force-enables
+        # asserts instead, /root/reference/include/SolveDVO.h:124-125)
+        diverged = not (np.isfinite(R_np).all() and np.isfinite(t_np).all())
+        if not diverged:
+            self._R = R_np
+            self._t = t_np
         self.gop.push_ordinary(self._frame_num, self._R, self._t, timestamp)
-        self._record(solve_ms, finest, b_cap, vis, reason, rolled_back)
+        self._record(solve_ms, finest, b_cap, vis, reason, rolled_back, diverged)
         self._prev_pyr = pyr
         return self.gop.global_pose(-1)
 
@@ -225,7 +234,7 @@ class EdgeDvoOdometry:
         self._R = np.eye(3)
         self._t = np.zeros(3)
 
-    def _record(self, solve_ms, finest, b_cap, vis, reason, rolled_back):
+    def _record(self, solve_ms, finest, b_cap, vis, reason, rolled_back, diverged=False):
         self.metrics.append(
             FrameMetrics(
                 frame_num=self._frame_num,
@@ -238,6 +247,7 @@ class EdgeDvoOdometry:
                 keyframe_reason=reason,
                 rolled_back=rolled_back,
                 energy_curve=np.asarray(finest.energy),
+                diverged=diverged,
             )
         )
 

@@ -231,3 +231,55 @@ def test_fused_fallback_fires():
     gt_t = np.stack([p[1] for p in poses])
     err = np.linalg.norm(t_est - gt_t, axis=-1)
     assert err[-1] < 0.12, err  # sparse path is coarse but not divergent
+
+
+def test_divergence_guard_rejects_nonfinite():
+    """A degenerate frame (all-zero depth -> empty edge set) must not poison
+    the trajectory with NaNs; the guard keeps the previous pose and flags."""
+    psis = _trajectory(n=3)
+    frames, _ = render_sequence(CAM, psis, seed=0)
+    odo = EdgeDvoOdometry(_config())
+    odo.process_frame(*frames[0], timestamp=0.0)
+    odo.process_frame(*frames[1], timestamp=1.0)
+    # degenerate frame: constant image, zero depth
+    g_bad = np.zeros((120, 160), np.float32)
+    d_bad = np.zeros((120, 160), np.float32)
+    R, t = odo.process_frame(g_bad, d_bad, timestamp=2.0)
+    assert np.isfinite(R).all() and np.isfinite(t).all()
+    _, t_all, _ = odo.trajectory()
+    assert np.isfinite(t_all).all()
+
+
+def test_long_sequence_endurance():
+    """20-frame run with keyframe churn + mid-run checkpoint/resume: the
+    trajectory stays finite and consistent (the gel.launch smoke test with
+    assertions, SURVEY.md section 4)."""
+    from rgbd_odometry_tpu.utils.checkpoint import load_odometry, save_odometry
+
+    psis = _trajectory(n=20, step=0.002)
+    frames, poses = render_sequence(CAM, psis, seed=3)
+    cfg = PipelineConfig(
+        camera=CAM,
+        pyramid=PyramidConfig(num_levels=3, max_points=(2048, 1024, 512)),
+        solver=SolverConfig(method="gauss_newton", iterations=(15, 5, 3)),
+        keyframe=KeyframeConfig(force_every=4),
+    )
+    odo = EdgeDvoOdometry(cfg)
+    for i, (g, d) in enumerate(frames[:10]):
+        odo.process_frame(g, d, float(i))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "snap.npz")
+        save_odometry(odo, p)
+        odo = load_odometry(p)
+    for i, (g, d) in enumerate(frames[10:], start=10):
+        odo.process_frame(g, d, float(i))
+    _, t_est, _ = odo.trajectory()
+    gt_t = np.stack([p_[1] for p_ in poses])
+    assert len(t_est) == 20
+    assert np.isfinite(t_est).all()
+    err = np.linalg.norm(t_est - gt_t, axis=-1)
+    # bounded drift over 20 frames and several keyframe promotions
+    assert err[-1] < max(0.5 * np.linalg.norm(gt_t[-1]), 0.03), err
+    assert len(odo.gop.keyframe_indices()) >= 4
