@@ -137,3 +137,26 @@ def trajectory_plot(
         y, x = np.clip(size - 1 - p[1], 2, size - 3), np.clip(p[0], 2, size - 3)
         img[y - 2 : y + 3, x - 2 : x + 3] = c
     return img
+
+
+def residual_histogram_plot(
+    hist: np.ndarray, b_cap: float, height: int = 250, width: int = 520
+) -> np.ndarray:
+    """`processResidueHistogram`'s plot (/root/reference/src/SolveDVO.cpp:
+    1398-1483): normalized residue histogram bars with the fitted Laplacian
+    pdf 1/(2b) exp(-r/b) overlaid."""
+    img = np.full((height, width, 3), 255, np.uint8)
+    n = len(hist)
+    hmax = max(float(np.max(hist)), 1e-9)
+    for i in range(n):
+        x = int(i * (width - 1) / max(n - 1, 1))
+        y = int((height - 20) * (1.0 - hist[i] / hmax))
+        img[max(y, 0) : height - 10, x] = (60, 60, 220)
+    if b_cap > 1e-9:
+        for i in range(1, n):
+            mag = 1.0 / (2.0 * b_cap) * np.exp(-(i - 1) / b_cap)
+            x = int(i * (width - 1) / max(n - 1, 1))
+            y = int((height - 20) * (1.0 - min(mag / hmax, 1.0)))
+            y = np.clip(y, 0, height - 1)
+            img[y, max(x - 1, 0) : x + 1] = (220, 160, 0)
+    return img

@@ -190,3 +190,32 @@ def test_vmap_batched_alignment():
         d0 = _initial_reproj_px(feats[0], intr.at_level(0), R_gt, t_gt)
         d = _reproj_px(feats[0], intr.at_level(0), R[i], t[i], R_gt, t_gt)
         assert d < 0.35 and d < 0.4 * d0, (i, d, d0)
+
+
+def test_energy_curve_regression_golden():
+    """Frozen energy-per-iteration curves (CPU, fixed scene/seed) — the
+    optimizer-regression fixture the reference kept as casualTestFunction.
+    Regenerate tests/golden_energy_curves.json deliberately when optimizer
+    semantics change on purpose."""
+    import json
+    import os
+
+    golden = json.load(
+        open(os.path.join(os.path.dirname(__file__), "golden_energy_curves.json"))
+    )
+    (rg, rd), (ng, nd), _ = render_pair(
+        CAM, np.array([0.012, -0.008, 0.006, 0.004, -0.005, 0.003], np.float32), seed=0
+    )
+    ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), 2)
+    now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), 2)
+    intr = Intrinsics.from_config(CAM)
+    for method, expected in golden.items():
+        cfg = SolverConfig(method=method)
+        feats = edge_dvo.extract_ref_features(ref.gray, ref.depth, intr, cfg, (2048, 1024))
+        tgts = edge_dvo.prepare_now_targets(now.gray, cfg)
+        _, _, diag = edge_dvo.run_level(
+            feats[0], tgts[0], intr.at_level(0), jnp.eye(3), jnp.zeros(3), cfg, 40
+        )
+        e = np.asarray(diag.energy)
+        np.testing.assert_allclose(e, np.asarray(expected), rtol=2e-2, atol=0.5,
+                                   err_msg=f"energy curve drifted for {method}")

@@ -212,3 +212,15 @@ def test_tum_source_roundtrip(tmp_path):
         # BT.601 gray conversions may differ by 1 rounding level
         assert np.abs(g1 - g2).max() <= 1.0
         np.testing.assert_allclose(d1, d2, atol=1e-3)
+
+
+def test_residual_histogram_plot():
+    from rgbd_odometry_tpu.pipeline.odometry import residual_histogram
+    from rgbd_odometry_tpu.viz.overlay import residual_histogram_plot
+
+    rng = np.random.default_rng(0)
+    eps = np.abs(rng.laplace(0, 3.0, 2000)).astype(np.float32)
+    h = residual_histogram(eps, np.ones(2000, bool))
+    assert h.shape == (260,) and h.sum() == pytest.approx(1.0)
+    img = residual_histogram_plot(h, b_cap=float(np.mean(eps)))
+    assert img.shape == (250, 520, 3)
