@@ -160,3 +160,9 @@ def residual_histogram_plot(
             y = np.clip(y, 0, height - 1)
             img[y, max(x - 1, 0) : x + 1] = (220, 160, 0)
     return img
+
+
+def reprojected_depth_map(gray: np.ndarray, uv: np.ndarray, depths_m: np.ndarray, valid=None, max_depth: float = 5.0) -> np.ndarray:
+    """`visualizeReprojectedDepth` (/root/reference/src/SolveDVO.cpp:1632-1675):
+    reprojected points painted by their camera-frame depth."""
+    return residue_heatmap(gray, uv, np.clip(np.asarray(depths_m), 0, max_depth), valid, vmax=max_depth)

@@ -283,3 +283,20 @@ def test_long_sequence_endurance():
     # bounded drift over 20 frames and several keyframe promotions
     assert err[-1] < max(0.5 * np.linalg.norm(gt_t[-1]), 0.03), err
     assert len(odo.gop.keyframe_indices()) >= 4
+
+
+def test_old_ref_update_variant():
+    """rollback_resolve=False reproduces __OLD__REF_UPDATE
+    (/root/reference/src/SolveDVO.cpp:2166-2191): the CURRENT frame becomes
+    the keyframe with its estimate kept (no promotion of frame n-1)."""
+    psis = _trajectory(n=8)
+    frames, _ = render_sequence(CAM, psis, seed=1)
+    odo = EdgeDvoOdometry(_config(force_every=3, rollback_resolve=False))
+    for i, (g, d) in enumerate(frames):
+        odo.process_frame(g, d, float(i))
+    kf = odo.gop.keyframe_indices()
+    # old variant: keyframes at the trigger frames themselves (3, 6), not n-1
+    assert kf[0] == 0 and 3 in kf and 6 in kf, kf
+    assert not any(m.rolled_back for m in odo.metrics)
+    _, t_est, _ = odo.trajectory()
+    assert np.isfinite(t_est).all()
