@@ -38,7 +38,7 @@ def main() -> None:
     from rgbd_odometry_tpu.io.synthetic import render_pair
     from rgbd_odometry_tpu.solvers import edge_dvo
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64  # throughput sweet spot (B-sweep: flat 64..128)
     cam = CameraConfig()  # reference base: 320x240, Freiburg-1 intrinsics
     num_levels = 4
     max_pts = (4096, 2048, 1024, 512)
