@@ -116,6 +116,26 @@ def cmd_dvo(args):
 
         write_trajectory(args.out, R, t, ts)
         print(f"trajectory -> {args.out}", file=sys.stderr)
+    if args.gt:
+        # live GT comparison, the __TF_GT__ path: rebase the GT to the first
+        # frame and report drift alongside the estimate
+        # (/root/reference/src/SolveDVO.cpp:1983-2014, 1371-1390)
+        from rgbd_odometry_tpu.eval.ate import ate_rmse, drift_stats
+        from rgbd_odometry_tpu.io.tum import read_trajectory
+
+        gt_R, gt_t, gt_ts = read_trajectory(args.gt, rebase=True)
+        n2 = min(len(t), len(gt_t))
+        ds = drift_stats(t[:n2], gt_t[:n2])
+        print(
+            json.dumps(
+                {
+                    "ate_rmse_vs_gt_file": ate_rmse(t[:n2], gt_t[:n2], align=True),
+                    "drift_mean_per_s": ds.mean,
+                    "drift_rms_per_s": ds.rms,
+                    "frames_compared": n2,
+                }
+            )
+        )
     if gt is not None:
         from rgbd_odometry_tpu.eval.ate import ate_rmse, drift_stats
 
@@ -357,6 +377,7 @@ def main(argv=None):
     p.add_argument("--iterations", default="18,6,4,3")
     p.add_argument("--keyframe-every", type=int, default=5)
     p.add_argument("--dry", action="store_true", help="ingest-only (loopDry)")
+    p.add_argument("--gt", default=None, help="GT trajectory file for live drift comparison (__TF_GT__)")
     p.add_argument("--checkpoint", default=None, help="save odometry state snapshot at end")
     p.add_argument("--resume", default=None, help="resume from a state snapshot")
     p.set_defaults(fn=cmd_dvo)
