@@ -356,7 +356,8 @@ def run_level(
     t0: jnp.ndarray,
     cfg: SolverConfig,
     n_iters: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, LevelDiagnostics]:
+    collect_trajectory: bool = False,
+):
     """One pyramid level of `runIterations`
     (/root/reference/src/SolveDVO.cpp:619-1017) as a `lax.scan`.
 
@@ -364,6 +365,10 @@ def run_level(
     each iteration; the best iterate (<=, so later ties win, :696-705) is
     returned; early termination freezes the state and leaves the remaining
     energy entries at zero (:872-878 with energyAtEachIteration zero-init).
+
+    With ``collect_trajectory=True`` an extra ``(Rs (n,3,3), ts (n,3))`` of
+    the per-iteration post-update poses is returned (XLA removes the outputs
+    entirely when False) — used by the full-loop numpy oracle test.
     """
     dtype = R0.dtype
     k = ref.pts3d.shape[0]
@@ -469,7 +474,7 @@ def run_level(
             best_eps=best_eps,
             best_visible=best_visible,
         )
-        return next_state, energy_out
+        return next_state, (energy_out, R_next, t_next)
 
     init = _LevelState(
         R=R0,
@@ -485,7 +490,9 @@ def run_level(
         best_eps=jnp.zeros((k,), dtype),
         best_visible=jnp.zeros((k,), bool),
     )
-    final, energies = jax.lax.scan(body, init, jnp.arange(n_iters, dtype=jnp.int32))
+    final, (energies, traj_R, traj_t) = jax.lax.scan(
+        body, init, jnp.arange(n_iters, dtype=jnp.int32)
+    )
 
     best_R = final.best_R
     if cfg.rotationize:  # reference re-rotationizes the returned best (:997-999)
@@ -499,6 +506,8 @@ def run_level(
         final_valid=final.best_visible,
         num_points=ref.count,
     )
+    if collect_trajectory:
+        return best_R, final.best_t, diag, (traj_R, traj_t)
     return best_R, final.best_t, diag
 
 

@@ -125,7 +125,17 @@ def test_lm_energy_not_worse_than_gt():
 
 
 def test_subgradient_improves():
-    """Reference-parity sub-gradient mode: coarse but must clearly improve."""
+    """Reference-parity sub-gradient mode: coarse but must clearly improve.
+
+    The 0.75*d0 bound is deliberately loose: the sub-gradient schedule is a
+    coarse optimizer by construction (fixed step schedule, no line search),
+    and this scene's edge geometry is partially ambiguous. The claim that the
+    loop matches the *reference's* schedule is NOT carried by this bound —
+    it is machine-checked iteration-by-iteration against an independent
+    float64 oracle in tests/test_subgradient_oracle.py (pose + energy, 50
+    iterations, 3 scenes x 2 levels). This test only guards against gross
+    end-to-end regressions of the full coarse-to-fine stack.
+    """
     psi_gt = np.array([0.01, -0.008, 0.005, 0.004, -0.006, 0.003], np.float32)
     ref, now, (R_gt, t_gt) = _make_pair(psi_gt)
     intr = Intrinsics.from_config(CAM)
