@@ -30,10 +30,24 @@ import numpy as np
 
 
 def _make_source(args):
+    import itertools
+
     from rgbd_odometry_tpu.io.stream import SyntheticCamera, TumSource, skip_frames
 
+    start = args.start or 0
     if args.source.startswith("tum:"):
-        src = TumSource(args.source[4:], start=args.start, end=args.end)
+        src = TumSource(args.source[4:], start=start, end=args.end)
+        cam = None
+        if args.calib:
+            from rgbd_odometry_tpu.io.calib import read_calib_xml
+
+            cam = read_calib_xml(args.calib)
+        frames = src.frames()
+        gt = None
+    elif args.source.startswith("xml:"):
+        from rgbd_odometry_tpu.io.xml_dump import XmlDumpSource
+
+        src = XmlDumpSource(args.source[4:], start=start, end=args.end)
         cam = None
         if args.calib:
             from rgbd_odometry_tpu.io.calib import read_calib_xml
@@ -47,6 +61,8 @@ def _make_source(args):
         cam = CameraConfig()
         synth = SyntheticCamera(cam, num_frames=args.frames)
         frames = synth.frames()
+        if start:
+            frames = itertools.islice(frames, start, None)
         gt = synth.ground_truth()
     if args.skip > 1:
         frames = skip_frames(frames, args.skip)
@@ -54,9 +70,11 @@ def _make_source(args):
 
 
 def _add_source_args(p):
-    p.add_argument("--source", default="synthetic", help="'synthetic' or 'tum:<dir>'")
+    p.add_argument(
+        "--source", default="synthetic", help="'synthetic', 'tum:<dir>' or 'xml:<dir>'"
+    )
     p.add_argument("--frames", type=int, default=30, help="synthetic frame count")
-    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--start", type=int, default=None)
     p.add_argument("--end", type=int, default=None)
     p.add_argument("--skip", type=int, default=1, help="keep every Nth frame (bagManip harness)")
     p.add_argument("--calib", default=None, help="OpenCV-XML calibration file")
@@ -72,13 +90,28 @@ def cmd_dvo(args):
     )
     from rgbd_odometry_tpu.pipeline.odometry import EdgeDvoOdometry
 
-    frames, cam, gt = _make_source(args)
     if args.resume:
         from rgbd_odometry_tpu.utils.checkpoint import load_odometry
 
         odo = load_odometry(args.resume)
-        print(f"resumed at frame {odo._frame_num} from {args.resume}", file=sys.stderr)
+        # already-processed frames must not be re-fed against the restored
+        # keyframe: default the source offset to the first unprocessed frame
+        resume_next = odo._frame_num + 1
+        if args.start is None:
+            args.start = resume_next
+        elif args.start != resume_next:
+            sys.exit(
+                f"--start {args.start} conflicts with checkpoint (next frame "
+                f"is {resume_next}); omit --start or pass {resume_next}"
+            )
+        print(
+            f"resumed at frame {odo._frame_num} from {args.resume}; "
+            f"source continues at {args.start}",
+            file=sys.stderr,
+        )
+        frames, cam, gt = _make_source(args)
     else:
+        frames, cam, gt = _make_source(args)
         cfg = PipelineConfig(
             camera=cam or CameraConfig(),
             solver=SolverConfig(
@@ -117,29 +150,47 @@ def cmd_dvo(args):
         write_trajectory(args.out, R, t, ts)
         print(f"trajectory -> {args.out}", file=sys.stderr)
     if args.gt:
-        # live GT comparison, the __TF_GT__ path: rebase the GT to the first
-        # frame and report drift alongside the estimate
-        # (/root/reference/src/SolveDVO.cpp:1983-2014, 1371-1390)
-        from rgbd_odometry_tpu.eval.ate import ate_rmse, drift_stats
+        # live GT comparison, the __TF_GT__ path
+        # (/root/reference/src/SolveDVO.cpp:1983-2014, 1371-1390): GT files
+        # are ~100 Hz mocap vs ~30 Hz frames, so pair poses by nearest
+        # timestamp (TUM associate semantics), rebase both matched
+        # sub-trajectories to their first pose, and normalize drift by the
+        # actual elapsed time
+        from rgbd_odometry_tpu.eval.ate import (
+            associate_trajectories,
+            ate_rmse,
+            drift_stats,
+        )
         from rgbd_odometry_tpu.io.tum import read_trajectory
 
-        gt_R, gt_t, gt_ts = read_trajectory(args.gt, rebase=True)
-        n2 = min(len(t), len(gt_t))
-        ds = drift_stats(t[:n2], gt_t[:n2])
-        print(
-            json.dumps(
-                {
-                    "ate_rmse_vs_gt_file": ate_rmse(t[:n2], gt_t[:n2], align=True),
-                    "drift_mean_per_s": ds.mean,
-                    "drift_rms_per_s": ds.rms,
-                    "frames_compared": n2,
-                }
-            )
+        gt_R, gt_t, gt_ts = read_trajectory(args.gt)
+        assoc = associate_trajectories(
+            R, t, ts, gt_R, gt_t, gt_ts, max_dt=args.gt_max_dt
         )
+        if assoc is None:
+            print(json.dumps({"error": f"no est/GT pairs within {args.gt_max_dt}s"}))
+        else:
+            R_e, t_e, R_g, t_g, dur = assoc
+            ds = drift_stats(t_e, t_g, duration_s=dur if dur > 0 else None)
+            print(
+                json.dumps(
+                    {
+                        "ate_rmse_vs_gt_file": ate_rmse(t_e, t_g, align=True),
+                        "drift_mean_per_s": ds.mean,
+                        "drift_rms_per_s": ds.rms,
+                        "frames_compared": len(t_e),
+                    }
+                )
+            )
     if gt is not None:
-        from rgbd_odometry_tpu.eval.ate import ate_rmse, drift_stats
+        from rgbd_odometry_tpu.eval.ate import ate_rmse, drift_stats, rebase_to_first
 
         gt_R, gt_t = gt
+        start = args.start or 0
+        if start and not args.resume:
+            # a fresh run offset into the synthetic stream: its trajectory is
+            # relative to the first PROCESSED frame
+            gt_R, gt_t = rebase_to_first(gt_R[start:], gt_t[start:])
         n2 = min(len(t), len(gt_t))
         ds = drift_stats(t[:n2], gt_t[:n2])
         print(
@@ -260,19 +311,32 @@ def cmd_imu(args):
 
 
 def cmd_eval(args):
-    from rgbd_odometry_tpu.eval.ate import ate_rmse, drift_stats, rpe
+    from rgbd_odometry_tpu.eval.ate import (
+        associate_trajectories,
+        ate_rmse,
+        drift_stats,
+        rpe,
+    )
     from rgbd_odometry_tpu.io.tum import read_trajectory
 
     R_e, t_e, ts_e = read_trajectory(args.est)
-    R_g, t_g, ts_g = read_trajectory(args.gt, skip_lines=args.gt_skip, rebase=args.rebase)
-    n = min(len(t_e), len(t_g))
-    tr, rr = rpe(R_e[:n], t_e[:n], R_g[:n], t_g[:n])
-    ds = drift_stats(t_e[:n], t_g[:n])
+    R_g, t_g, ts_g = read_trajectory(args.gt, skip_lines=args.gt_skip)
+    # pair est/GT by nearest timestamp (TUM associate semantics) — GT files
+    # sample at ~100 Hz vs ~30 Hz frames, so index-by-index pairing is wrong
+    assoc = associate_trajectories(
+        R_e, t_e, ts_e, R_g, t_g, ts_g, max_dt=args.max_dt, rebase=args.rebase
+    )
+    if assoc is None:
+        sys.exit(f"no est/GT timestamp pairs within {args.max_dt}s")
+    R_e, t_e, R_g, t_g, dur = assoc
+    n = len(t_e)
+    tr, rr = rpe(R_e, t_e, R_g, t_g)
+    ds = drift_stats(t_e, t_g, duration_s=dur if dur > 0 else None)
     print(
         json.dumps(
             {
-                "ate_rmse_aligned": ate_rmse(t_e[:n], t_g[:n], align=True),
-                "ate_rmse_raw": ate_rmse(t_e[:n], t_g[:n], align=False),
+                "ate_rmse_aligned": ate_rmse(t_e, t_g, align=True),
+                "ate_rmse_raw": ate_rmse(t_e, t_g, align=False),
                 "rpe_trans_rmse": tr,
                 "rpe_rot_rmse": rr,
                 "drift_mean_per_s": ds.mean,
@@ -339,6 +403,34 @@ def cmd_probe(args):
     )
 
 
+def cmd_dump(args):
+    """Write a source as reference-format XML pyramid dumps — the
+    `__ENABLE_IM_WRITE__` writer (/root/reference/src/publisherPyD.cpp:
+    216-256): one framemono_NNNN.xml per frame with mono_0..3/depth_0..3.
+    Frames dumped here replay in the reference's __DATA_FROM_XML_FILES__
+    offline mode and vice versa."""
+    import os
+
+    import jax.numpy as jnp
+
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+    from rgbd_odometry_tpu.io.xml_dump import write_frame_dump
+
+    frames, cam, gt = _make_source(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for i, (gray, depth, ts) in enumerate(frames):
+        pyr = build_pyramid(jnp.asarray(gray), jnp.asarray(depth), args.levels)
+        write_frame_dump(
+            args.out_dir,
+            i,
+            [np.asarray(g) for g in pyr.gray],
+            [np.asarray(d) for d in pyr.depth],
+        )
+        n += 1
+    print(json.dumps({"frames_written": n, "dir": args.out_dir}))
+
+
 def cmd_bench(args):
     import bench
 
@@ -378,6 +470,7 @@ def main(argv=None):
     p.add_argument("--keyframe-every", type=int, default=5)
     p.add_argument("--dry", action="store_true", help="ingest-only (loopDry)")
     p.add_argument("--gt", default=None, help="GT trajectory file for live drift comparison (__TF_GT__)")
+    p.add_argument("--gt-max-dt", type=float, default=0.02, help="max timestamp gap for est/GT association")
     p.add_argument("--checkpoint", default=None, help="save odometry state snapshot at end")
     p.add_argument("--resume", default=None, help="resume from a state snapshot")
     p.set_defaults(fn=cmd_dvo)
@@ -407,6 +500,7 @@ def main(argv=None):
     p.add_argument("gt")
     p.add_argument("--gt-skip", type=int, default=0)
     p.add_argument("--rebase", action="store_true")
+    p.add_argument("--max-dt", type=float, default=0.02, help="max timestamp gap for association")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("calib", help="read/write OpenCV-XML calibration files")
@@ -420,6 +514,12 @@ def main(argv=None):
     p.add_argument("--method", default="subgradient", choices=["subgradient", "gauss_newton"])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_probe)
+
+    p = sub.add_parser("dump", help="write reference-format XML pyramid dumps (__ENABLE_IM_WRITE__)")
+    _add_source_args(p)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--levels", type=int, default=4)
+    p.set_defaults(fn=cmd_dump)
 
     p = sub.add_parser("bench", help="batched-alignment throughput benchmark")
     p.add_argument("--batch", type=int, default=32)

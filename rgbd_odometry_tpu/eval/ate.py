@@ -25,13 +25,19 @@ class DriftStats:
 
 
 def drift_stats(
-    est_t: np.ndarray, gt_t: np.ndarray, fps: float = 30.0
+    est_t: np.ndarray,
+    gt_t: np.ndarray,
+    fps: float = 30.0,
+    duration_s: float | None = None,
 ) -> DriftStats:
     """Per-frame positional drift vs GT, normalized per second of trajectory
-    (reference divides by v.size()/30.0, src/SolveDVO.cpp:1383-1388)."""
+    (reference divides by v.size()/30.0, src/SolveDVO.cpp:1383-1388).
+
+    Pass `duration_s` (e.g. from real frame timestamps) to normalize by the
+    actual elapsed time instead of the reference's 30 fps assumption."""
     n = min(len(est_t), len(gt_t))
     d = np.linalg.norm(est_t[:n] - gt_t[:n], axis=-1)
-    dur = max(n / fps, 1e-9)
+    dur = max(duration_s if duration_s is not None else n / fps, 1e-9)
     return DriftStats(
         mean=float(d.mean() / dur),
         median=float(np.median(d) / dur),
@@ -102,6 +108,44 @@ def rpe(
         float(np.sqrt(np.mean(np.square(terrs)))),
         float(np.sqrt(np.mean(np.square(rerrs)))),
     )
+
+
+def associate_trajectories(
+    est_R: np.ndarray,
+    est_t: np.ndarray,
+    est_ts: np.ndarray,
+    gt_R: np.ndarray,
+    gt_t: np.ndarray,
+    gt_ts: np.ndarray,
+    max_dt: float = 0.02,
+    rebase: bool = True,
+):
+    """Pair estimate and ground-truth poses by nearest timestamp.
+
+    TUM groundtruth.txt is ~100 Hz mocap while frames arrive at ~30 Hz;
+    index-by-index comparison pairs wrong poses. This applies the TUM
+    associate.py greedy nearest-neighbour matching (io.tum.associate), then
+    optionally rebases both matched sub-trajectories to their first pose
+    (the reference registers GT against the first frame,
+    /root/reference/src/SolveDVO.cpp:1983-2014).
+
+    Returns (est_R, est_t, gt_R, gt_t, duration_s) over matched pairs, or
+    None when nothing associates within `max_dt`.
+    """
+    from rgbd_odometry_tpu.io.tum import associate
+
+    pairs = associate(np.asarray(est_ts, np.float64), np.asarray(gt_ts, np.float64), max_dt)
+    if not pairs:
+        return None
+    ie = np.asarray([i for i, _ in pairs])
+    ig = np.asarray([j for _, j in pairs])
+    R_e, t_e = est_R[ie], est_t[ie]
+    R_g, t_g = gt_R[ig], gt_t[ig]
+    if rebase:
+        R_e, t_e = rebase_to_first(R_e, t_e)
+        R_g, t_g = rebase_to_first(R_g, t_g)
+    duration = float(np.asarray(est_ts)[ie[-1]] - np.asarray(est_ts)[ie[0]])
+    return R_e, t_e, R_g, t_g, duration
 
 
 def rebase_to_first(R: np.ndarray, t: np.ndarray):

@@ -22,13 +22,28 @@ from rgbd_odometry_tpu.config import CameraConfig
 
 
 def read_calib_xml(path: str, width: int | None = None, height: int | None = None) -> CameraConfig:
-    """Load a cv::FileStorage calibration XML into a CameraConfig."""
-    K, dist = _read_matrices(path)
+    """Load a cv::FileStorage calibration XML into a CameraConfig.
+
+    Resolution comes from (in priority order): explicit width/height args,
+    `imageWidth`/`imageHeight` nodes (written by write_calib_xml), or a
+    `<W>x<H>` token in the filename (the reference's own convention —
+    `Freiburg_ROS_default_640x480.xml`, `Xtion_640x480.xml`). Inferring it
+    from the principal point would be wrong for any real calibration whose
+    principal point is off-centre, so that is never done.
+    """
+    K, dist, size = _read_matrices(path)
     fx, fy, cx, cy = float(K[0, 0]), float(K[1, 1]), float(K[0, 2]), float(K[1, 2])
+    if width is None and size is not None:
+        width, height = size
     if width is None:
-        # infer from the principal point (cx ~ (W-1)/2 for the Freiburg files)
-        width = int(round(cx * 2 + 1))
-        height = int(round(cy * 2 + 1))
+        m = re.search(r"(\d+)x(\d+)", os.path.basename(path))
+        if m:
+            width, height = int(m.group(1)), int(m.group(2))
+    if width is None or height is None:
+        raise ValueError(
+            f"{path}: no imageWidth/imageHeight nodes and no WxH in the "
+            "filename — pass width/height explicitly"
+        )
     d = tuple(float(x) for x in np.asarray(dist).reshape(-1)[:5]) if dist is not None else (0.0,) * 5
     d = (d + (0.0,) * 5)[:5]
     return CameraConfig(width=width, height=height, fx=fx, fy=fy, cx=cx, cy=cy, distortion=d)
@@ -46,6 +61,10 @@ def write_calib_xml(path: str, cam: CameraConfig) -> None:
     fs = cv2.FileStorage(path, cv2.FILE_STORAGE_WRITE)
     fs.write("cameraMatrix", K)
     fs.write("distCoeffs", dist)
+    # extra nodes the reference ignores (cv::FileStorage reads by name) but
+    # that make the file self-describing for read_calib_xml
+    fs.write("imageWidth", int(cam.width))
+    fs.write("imageHeight", int(cam.height))
     fs.release()
 
 
@@ -78,9 +97,15 @@ def _read_matrices(path: str):
         if fs.isOpened():
             K = fs.getNode("cameraMatrix").mat()
             dist = fs.getNode("distCoeffs").mat()
+            wn, hn = fs.getNode("imageWidth"), fs.getNode("imageHeight")
+            size = (
+                (int(wn.real()), int(hn.real()))
+                if not wn.empty() and not hn.empty()
+                else None
+            )
             fs.release()
             if K is not None:
-                return K, dist
+                return K, dist, size
     except Exception:
         pass
     # minimal fallback parser for cv XML
@@ -92,8 +117,14 @@ def _read_matrices(path: str):
             return None
         return np.asarray([float(v) for v in m.group(1).split()])
 
+    def grab_scalar(name):
+        m = re.search(rf"<{name}>\s*([-\d.eE+]+)\s*</{name}>", text)
+        return int(float(m.group(1))) if m else None
+
     K = grab("cameraMatrix")
     d = grab("distCoeffs")
     if K is None:
         raise ValueError(f"no cameraMatrix in {path}")
-    return K.reshape(3, 3), d
+    w, h = grab_scalar("imageWidth"), grab_scalar("imageHeight")
+    size = (w, h) if w is not None and h is not None else None
+    return K.reshape(3, 3), d, size

@@ -90,7 +90,10 @@ def hysteresis(strong: jnp.ndarray, weak: jnp.ndarray, max_iters: int | None = N
     (each pass extends every edge chain by one pixel in all directions).
     """
     if max_iters is None:
-        max_iters = strong.shape[-2] + strong.shape[-1]
+        # the changed-flag terminates at the fixpoint; this cap is only a
+        # pathological backstop. H*W bounds ANY 8-connected propagation path
+        # (serpentine/spiral weak chains can exceed H+W steps).
+        max_iters = strong.shape[-2] * strong.shape[-1]
 
     def cond(state):
         edges, changed, it = state

@@ -139,9 +139,16 @@ class FusedOdometry:
             self._prev_frame = (gray, depth_mm)
             return pose
         if self.odo._last_ref_frame != last_ref_before:
-            # keyframe switched: the new reference is frame n-1 (rollback
-            # semantics) -> anchor sparse features to the cached prev frame
-            kf_gray, kf_depth = self._prev_frame if self._prev_frame is not None else (gray, depth_mm)
+            # keyframe switched: with rollback semantics (__NEW__REF_UPDATE)
+            # the new reference is frame n-1 -> anchor sparse features to the
+            # cached prev frame; with the naive variant (rollback_resolve
+            # False, __OLD__REF_UPDATE) the CURRENT frame is the reference
+            if self.odo._last_ref_frame == self.odo._frame_num:
+                kf_gray, kf_depth = gray, depth_mm
+            else:
+                kf_gray, kf_depth = (
+                    self._prev_frame if self._prev_frame is not None else (gray, depth_mm)
+                )
             self._refresh_kf_features(kf_gray, kf_depth)
             self._prev_frame = (gray, depth_mm)
             return pose

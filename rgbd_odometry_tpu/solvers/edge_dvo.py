@@ -30,6 +30,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rgbd_odometry_tpu.config import SolverConfig
 from rgbd_odometry_tpu.core import geometry as geo
@@ -39,7 +40,10 @@ from rgbd_odometry_tpu.ops.distance_transform import distance_transform_of_edges
 from rgbd_odometry_tpu.ops.gradient import central_gradient
 from rgbd_odometry_tpu.ops.interp import gather_bilinear, gather_floor, gather_sqrt_bilinear
 from rgbd_odometry_tpu.ops.linalg6 import chol_solve6
-from rgbd_odometry_tpu.ops.matmul_gather import gather_channels_mm
+from rgbd_odometry_tpu.ops.matmul_gather import (
+    gather_bilinear_value_grad_mm,
+    gather_channels_mm,
+)
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -110,12 +114,24 @@ def extract_ref_level(
     mask = edges & (depth_mm > cfg.min_depth_mm)
     h, w = mask.shape
     flat = mask.reshape(-1)
-    count = jnp.sum(flat.astype(jnp.int32))
     k_max = min(k_max, h * w)  # coarse levels can be smaller than the cap
-    # top-K of the 0/1 mask: lax.top_k is stable -> lowest flat (row-major)
-    # indices first, a deterministic subset of the reference's enumeration
-    score, idx = jax.lax.top_k(flat.astype(jnp.float32), k_max)
-    valid = score > 0.0
+    # count is clamped to capacity: it is the denominator of the visibility
+    # ratio and the Laplacian b-hat, which must describe the points actually
+    # tracked, not the frame's full edge census
+    count = jnp.minimum(jnp.sum(flat.astype(jnp.int32)), k_max)
+    # top-K with a fixed pseudo-random tie-break priority: when the frame has
+    # more qualifying edges than capacity, the kept subset is spatially
+    # uniform over the image instead of lax.top_k's row-major-first prefix
+    # (which would track only the top of the image). When count <= k_max the
+    # selected SET is unchanged (every edge pixel scores > 1, every non-edge
+    # < 1); only the ordering differs, which the masked reductions ignore.
+    # The priority is a trace-time numpy constant (exact, free at runtime).
+    pri = jnp.asarray(
+        (np.random.default_rng(h * w).permutation(h * w).astype(np.float32) + 0.5)
+        / (h * w)
+    )
+    score, idx = jax.lax.top_k(flat.astype(jnp.float32) + pri, k_max)
+    valid = score > 1.0
     ys = (idx // w).astype(gray.dtype)
     xs = (idx % w).astype(gray.dtype)
     z = jnp.where(valid, jnp.take(depth_mm.reshape(-1), idx), 0.0) / 1000.0
@@ -255,7 +271,14 @@ def _jacobian_residual(R, t, ref: RefLevel, now: NowLevel, intr: Intrinsics, cfg
     bilinear = cfg.method == "gauss_newton"
     if cfg.gather_mode == "mxu":
         # one fused 3-channel MXU gather: DT residual + both gradients
-        if bilinear:
+        if bilinear and cfg.gn_gradient_mode == "interpolant":
+            # 2 one-hot row matmuls of the DT channel only: value + exact
+            # gradient of the bilinear interpolant (see matmul_gather)
+            val, gu, gv = gather_bilinear_value_grad_mm(now.chans[0], u, v)
+            eps_raw = val.astype(ref.pts3d.dtype)
+            g0_raw = gu.astype(ref.pts3d.dtype)
+            g1_raw = gv.astype(ref.pts3d.dtype)
+        elif bilinear:
             sampled = gather_channels_mm(now.chans, u, v, bilinear=True).astype(
                 ref.pts3d.dtype
             )
@@ -366,40 +389,59 @@ def run_level(
     returned; early termination freezes the state and leaves the remaining
     energy entries at zero (:872-878 with energyAtEachIteration zero-init).
 
+    gauss_newton with ``cfg.lm_jacobian_stride > 1`` runs the scan on every
+    Nth point (uniform subsample; order is pseudo-randomized at extraction):
+    the per-iteration energy curve is then over that subset (scaled by
+    ~1/sqrt(N)), while ``best_energy`` / ``visible_ratio`` /
+    ``final_epsilons`` are re-evaluated on ALL points at the returned pose.
+
     With ``collect_trajectory=True`` an extra ``(Rs (n,3,3), ts (n,3))`` of
     the per-iteration post-update poses is returned (XLA removes the outputs
     entirely when False) — used by the full-loop numpy oracle test.
     """
     dtype = R0.dtype
-    k = ref.pts3d.shape[0]
+    lm_mode = cfg.method == "gauss_newton"
+
+    def _strided(r: RefLevel, s: int) -> RefLevel:
+        return RefLevel(
+            pts3d=r.pts3d[::s],
+            uv=r.uv[::s],
+            valid=r.valid[::s],
+            count=jnp.maximum(r.count // s, 1),
+        )
+
+    # keep >= 512 points in any strided pass: tiny capacities (coarse levels,
+    # small images) need the full set for a stable decision
+    cap = ref.pts3d.shape[0]
+    # normal-equation subsample: J^T W J / J^T W eps are 6x6 sufficient
+    # statistics; every Nth point (pseudo-random order from extraction)
+    # estimates them with 1/N the gather cost. Diagnostics are re-evaluated
+    # on ALL points at the best pose after the scan.
+    jstride = max(1, min(int(cfg.lm_jacobian_stride), cap // 512)) if lm_mode else 1
+    ref_jac = _strided(ref, jstride) if jstride > 1 else ref
+    if lm_mode and jstride > 1:
+        # accept/reject reuses the Jacobian subset: e_cur is then the scan
+        # body's own energy, no extra slice pass
+        stride = 1
+        ref_sub = ref_jac
+    elif lm_mode:
+        stride = max(1, min(int(cfg.lm_proposal_stride), cap // 512))
+        # subsampled point set for the LM accept/reject pass only (the
+        # decision compares two energies on the SAME subset, so the 1/stride
+        # gather is statistically sufficient and 1/stride the cost)
+        ref_sub = _strided(ref, stride) if stride > 1 else ref
+    else:
+        stride = 1
+        ref_sub = ref
+    k = ref_jac.pts3d.shape[0]
     precond = jnp.asarray(
         [1.0, 1.0, 1.0, cfg.precondition_rot, cfg.precondition_rot, cfg.precondition_rot],
         dtype,
     )
-    lm_mode = cfg.method == "gauss_newton"
-    # keep >= 512 points in the strided accept/reject pass: tiny capacities
-    # (coarse levels, small images) need the full set for a stable decision
-    stride = (
-        max(1, min(int(cfg.lm_proposal_stride), ref.pts3d.shape[0] // 512))
-        if lm_mode
-        else 1
-    )
-    if lm_mode and stride > 1:
-        # subsampled point set for the LM accept/reject pass only (the
-        # decision compares two energies on the SAME subset, so the 1/stride
-        # gather is statistically sufficient and 1/stride the cost)
-        ref_sub = RefLevel(
-            pts3d=ref.pts3d[::stride],
-            uv=ref.uv[::stride],
-            valid=ref.valid[::stride],
-            count=jnp.maximum(ref.count // stride, 1),
-        )
-    else:
-        ref_sub = ref
 
     def body(state: _LevelState, itr):
         J, eps, wgt, visible, energy, vis_ratio = _jacobian_residual(
-            state.R, state.t, ref, now, intr_level, cfg
+            state.R, state.t, ref_jac, now, intr_level, cfg
         )
         # best-iterate tracking (skipped once done)
         is_better = (energy <= state.best_energy) & (~state.done)
@@ -497,15 +539,33 @@ def run_level(
     best_R = final.best_R
     if cfg.rotationize:  # reference re-rotationizes the returned best (:997-999)
         best_R = geo.rotationize(best_R, cfg.rotationize_method)
-    diag = LevelDiagnostics(
-        energy=energies,
-        best_energy=final.best_energy,
-        best_iter=final.best_iter,
-        visible_ratio=final.best_vis,
-        final_epsilons=final.best_eps,
-        final_valid=final.best_visible,
-        num_points=ref.count,
-    )
+    if jstride > 1:
+        # the scan tracked subset-sized residuals; diagnostics (keyframe
+        # quality triggers, b-hat, visibility) must describe ALL points at
+        # the returned pose — one full residual pass, amortized over the
+        # whole level's iterations
+        eps_f, _, visible_f, energy_f, vis_f, *_ = _project_and_sample(
+            best_R, final.best_t, ref, now, intr_level, cfg
+        )
+        diag = LevelDiagnostics(
+            energy=energies,
+            best_energy=energy_f,
+            best_iter=final.best_iter,
+            visible_ratio=vis_f,
+            final_epsilons=eps_f,
+            final_valid=visible_f,
+            num_points=ref.count,
+        )
+    else:
+        diag = LevelDiagnostics(
+            energy=energies,
+            best_energy=final.best_energy,
+            best_iter=final.best_iter,
+            visible_ratio=final.best_vis,
+            final_epsilons=final.best_eps,
+            final_valid=final.best_visible,
+            num_points=ref.count,
+        )
     if collect_trajectory:
         return best_R, final.best_t, diag, (traj_R, traj_t)
     return best_R, final.best_t, diag

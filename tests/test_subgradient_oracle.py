@@ -124,9 +124,15 @@ def test_run_level_matches_numpy_oracle(scene, level):
 
 
 def test_oracle_detects_schedule_perturbations():
-    """The oracle has teeth: a wrong momentum/step/trust constant must show."""
+    """The oracle has teeth: a wrong momentum/step/trust constant must show.
+
+    Starts from the generic non-identity pose: at exact identity the L2
+    regularizer's normalized log-pose is zero, so an l2_lambda perturbation
+    would be structurally invisible there."""
     seed, psi = SCENES[0]
     ref, now, intr, cfg = _level_inputs(seed, psi, 1)
+    R0, t0 = _generic_start(0)
+    R0, t0 = np.asarray(R0, np.float64), np.asarray(t0, np.float64)
     base = run_level_oracle(
         np.asarray(now.dt, np.float64),
         np.asarray(now.dgx, np.float64),
@@ -134,15 +140,21 @@ def test_oracle_detects_schedule_perturbations():
         np.asarray(ref.pts3d, np.float64),
         np.asarray(ref.valid),
         float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy),
-        np.eye(3), np.zeros(3), N_ITERS,
+        R0, t0, N_ITERS,
     )
-    # note: a scaled step_length is deliberately NOT probed — while the
-    # trust region clamps |psi| to the radius (the usual regime far from the
-    # optimum), psi's direction is independent of step_length, so scaling it
-    # is invisible by construction. Probe constants that change direction or
-    # the clamped norm instead.
+    # notes on what is NOT probed:
+    #  * a scaled step_length — while the trust region clamps |psi| to the
+    #    radius (the usual regime far from the optimum), psi's direction is
+    #    independent of step_length, so scaling it is invisible by
+    #    construction;
+    #  * l2_lambda 0.05 -> 0 — the reference adds lambda * UNIT log-pose to
+    #    the RAW gradient J^T W eps of magnitude 1e3-1e5
+    #    (/root/reference/src/SolveDVO.cpp:742,795: cPsi normalized, g not),
+    #    so the regularizer shifts the descent direction by ~5e-6
+    #    relative — a faithful near-no-op (measured deviation ~1.6e-6 here).
+    #    l2_lambda=100 below verifies the term is wired at all.
     for kwargs in ({"momentum": 0.4}, {"precondition_rot": 0.7},
-                   {"trust_region_radius": 0.004}, {"l2_lambda": 0.0}):
+                   {"trust_region_radius": 0.004}, {"l2_lambda": 100.0}):
         pert = run_level_oracle(
             np.asarray(now.dt, np.float64),
             np.asarray(now.dgx, np.float64),
@@ -150,7 +162,7 @@ def test_oracle_detects_schedule_perturbations():
             np.asarray(ref.pts3d, np.float64),
             np.asarray(ref.valid),
             float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy),
-            np.eye(3), np.zeros(3), N_ITERS,
+            R0, t0, N_ITERS,
             **kwargs,
         )
         dev = np.max(np.abs(pert["ts"] - base["ts"]))
