@@ -43,8 +43,12 @@ def main() -> None:
     num_levels = 4
     max_pts = (4096, 2048, 1024, 512)
     # production LM profile: accuracy measured equal to the reference's
-    # 50-iteration schedule on the synthetic suite (0.1-0.5px reprojection)
-    cfg = SolverConfig(method="gauss_newton", iterations=(18, 6, 4, 3))
+    # 50-iteration schedule on the synthetic suite (0.1-0.5px reprojection);
+    # lm_jacobian_stride=8 verified at equal pose error on 3 scenes
+    # (tools/profile_variants.py + 3-scene align_pair check, r2)
+    cfg = SolverConfig(
+        method="gauss_newton", iterations=(18, 6, 4, 3), lm_jacobian_stride=8
+    )
     intr = Intrinsics.from_config(cam)
 
     # three distinct input batches so no stage can be elided across reps
@@ -96,6 +100,43 @@ def main() -> None:
     per_frame = step_s + ref_s / KEYFRAME_EVERY
     pairs_per_s = batch / per_frame
 
+    # ---- secondary recordings (same chip, same run) -----------------------
+    # (a) reference-parity sub-gradient mode (50 itr x 4 levels, float32
+    #     floor gathers) — the mode whose schedule is oracle-verified
+    sub_cfg = SolverConfig(method="subgradient")
+    f_sub = jax.jit(
+        jax.vmap(
+            lambda feats, ng: edge_dvo.solve_pyramid(
+                feats, edge_dvo.prepare_now_targets(ng, sub_cfg), intr, sub_cfg
+            )[:2]
+        )
+    )
+    sub_out = [f_sub(featsets[i], sets[i][2]) for i in range(2)]
+    jax.block_until_ready(sub_out)
+    t0 = time.perf_counter()
+    rs = [f_sub(featsets[i % 3], sets[i % 3][2]) for i in range(3)]
+    jax.block_until_ready(rs)
+    sub_per_frame = (time.perf_counter() - t0) / 3 + ref_s / KEYFRAME_EVERY
+    subgradient_fps = batch / sub_per_frame
+
+    # (b) streaming mode: ONE pair in flight (the reference's own operating
+    #     regime — its loop targets 35 Hz, /root/reference/src/SolveDVO.cpp:1945)
+    f_step1 = jax.jit(
+        lambda feats, ng: edge_dvo.solve_pyramid(
+            feats, edge_dvo.prepare_now_targets(ng, cfg), intr, cfg
+        )[:2]
+    )
+    feats1 = jax.tree_util.tree_map(lambda x: x[0], featsets[0])
+    nows1 = [tuple(g[0] for g in s[2]) for s in sets]
+    out = [f_step1(feats1, n) for n in nows1]
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    n_stream = 30
+    for i in range(n_stream):
+        out = f_step1(feats1, nows1[i % 3])
+    jax.block_until_ready(out)
+    streaming_hz = n_stream / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -106,6 +147,11 @@ def main() -> None:
                 "value": round(pairs_per_s, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(pairs_per_s / 1000.0, 4),
+                "extras": {
+                    "subgradient_parity_frames_per_s": round(subgradient_fps, 2),
+                    "streaming_single_pair_hz": round(streaming_hz, 2),
+                    "batch": batch,
+                },
             }
         )
     )

@@ -121,12 +121,21 @@ def cmd_dvo(args):
             keyframe=KeyframeConfig(force_every=args.keyframe_every),
         )
         odo = EdgeDvoOdometry(cfg)
+    viz = None
+    if args.viz_dir:
+        from rgbd_odometry_tpu.viz.live import LiveViz
+
+        viz = LiveViz(args.viz_dir, every=args.viz_every)
+        odo.keep_residuals = True
     n = 0
+    gray = depth = None
     for gray, depth, ts in frames:
         if args.dry:
             n += 1
             continue
         odo.process_frame(gray, depth, ts)
+        if viz is not None:
+            viz.on_frame(odo, gray, depth)
         n += 1
         m = odo.metrics[-1]
         print(
@@ -144,6 +153,9 @@ def cmd_dvo(args):
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
     print(f"avg solve: {odo.average_solve_ms():.2f} ms over {n} frames", file=sys.stderr)
     R, t, ts = odo.trajectory()
+    if viz is not None and n > 0:
+        written = viz.finalize(odo, gt_t=gt[1][: len(t)] if gt is not None else None)
+        print(f"viz: {len(written)} images -> {args.viz_dir}", file=sys.stderr)
     if args.out:
         from rgbd_odometry_tpu.io.tum import write_trajectory
 
@@ -473,6 +485,8 @@ def main(argv=None):
     p.add_argument("--gt-max-dt", type=float, default=0.02, help="max timestamp gap for est/GT association")
     p.add_argument("--checkpoint", default=None, help="save odometry state snapshot at end")
     p.add_argument("--resume", default=None, help="resume from a state snapshot")
+    p.add_argument("--viz-dir", default=None, help="write live debug PNGs (overlay/residue/energy/trajectory/reprojection)")
+    p.add_argument("--viz-every", type=int, default=5, help="sample every Nth frame for viz")
     p.set_defaults(fn=cmd_dvo)
 
     p = sub.add_parser("photometric", help="legacy dense DVO (rgbdSubsc node)")

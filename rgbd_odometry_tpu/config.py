@@ -139,6 +139,23 @@ class SolverConfig:
     # (the decision is a statistical comparison; the strided residual pass
     # costs 1/N of the full gather). 1 = evaluate on all points.
     lm_proposal_stride: int = 4
+    # gauss_newton gradient source: "interpolant" derives d/du, d/dv of the
+    # bilinearly-sampled DT from its own corner rows (2 one-hot matmuls, the
+    # exact gradient of the sampled residual); "channels" gathers the
+    # precomputed central-difference gradient images (3 matmuls, smoothed
+    # approximation). Only consulted when method == "gauss_newton" and
+    # gather_mode == "mxu".
+    gn_gradient_mode: str = "interpolant"
+    # gauss_newton normal equations (J^T W J, J^T W eps) are accumulated from
+    # every Nth point: a 6x6 sufficient statistic needs far fewer than
+    # max_points samples, and the per-iteration gather cost scales 1/N.
+    # Point order is pseudo-randomized at extraction, so a stride is a
+    # uniform subsample. Diagnostics (energy, visibility, residuals) are
+    # always evaluated on ALL points at the level's best pose afterwards.
+    # 1 = use all points (exact). Default 4: measured 2.7x faster level
+    # solves at equal pose accuracy (tools/profile_variants.py, TPU v5e:
+    # 24.7 -> 9.1 ms for 18 level-0 iterations at batch 64, t_err stable).
+    lm_jacobian_stride: int = 4
     # image sampling backend: "mxu" = separable one-hot matmul gathers (TPU
     # point-gathers serialize per element; the MXU formulation is ~100x
     # faster), "take" = jnp.take_along_axis (exact reference semantics,

@@ -36,6 +36,11 @@ class FeatureVoConfig:
     ransac_hypotheses: int = 64
     inlier_thresh: float = 0.01
     min_depth_mm: float = 100.0
+    # epipolar match filter (ransacTest parity, PnPOdometry.cpp:463,500-535):
+    # F-matrix RANSAC over the descriptor matches before PnP, distance 3 px
+    epipolar_filter: bool = True
+    epipolar_threshold_px: float = 3.0
+    epipolar_hypotheses: int = 64
 
 
 @dataclass
@@ -72,6 +77,17 @@ class FeatureVo:
             )
 
         self._solve = jax.jit(_solve)
+
+        def _epi(key, uv_now, uv_ref, valid):
+            from rgbd_odometry_tpu.ops.epipolar import ransac_fundamental_filter
+
+            return ransac_fundamental_filter(
+                key, uv_now, uv_ref, valid,
+                num_hypotheses=self.config.epipolar_hypotheses,
+                threshold_px=self.config.epipolar_threshold_px,
+            )
+
+        self._epi = jax.jit(_epi)
 
     # ------------------------------------------------------------------
     def _backproject_ref(self, kps: feat.Keypoints, depth_mm: jnp.ndarray):
@@ -115,6 +131,13 @@ class FeatureVo:
         obj = jnp.take(self._ref_pts3d, m.ref_idx, axis=0)
         obj_valid = jnp.take(self._ref_pts_valid, m.ref_idx, axis=0)
         valid = m.good & obj_valid & now_kps.valid
+        if self.config.epipolar_filter:
+            # geometric gate before PnP: descriptor-similar but epipolar-
+            # inconsistent matches are rejected (ransacTest parity)
+            uv_ref = jnp.take(self._ref.uv, m.ref_idx, axis=0)
+            self._key, ek = jax.random.split(self._key)
+            epi = self._epi(ek, now_kps.uv, uv_ref, valid)
+            valid = epi.inliers
         imn = pnp.normalize_image_points(now_kps.uv, self.intr)
 
         self._key, sub = jax.random.split(self._key)

@@ -54,6 +54,9 @@ class FrameMetrics:
     rolled_back: bool = False
     energy_curve: Optional[np.ndarray] = None
     diverged: bool = False  # NaN/non-finite estimate was rejected
+    # populated only when EdgeDvoOdometry.keep_residuals is True (viz sinks)
+    final_epsilons: Optional[np.ndarray] = None
+    final_valid: Optional[np.ndarray] = None
 
 
 def residual_b_cap(epsilons: np.ndarray, count: int) -> float:
@@ -87,6 +90,9 @@ class EdgeDvoOdometry:
         self._last_ref_frame = -1
         self._R = np.eye(3, dtype=np.float64)
         self._t = np.zeros(3, dtype=np.float64)
+        # retain per-frame residual vectors in FrameMetrics (viz sinks need
+        # them; off by default to keep long runs light)
+        self.keep_residuals = False
 
         scfg = self.cfg.solver
         pyr = self.cfg.pyramid
@@ -248,6 +254,12 @@ class EdgeDvoOdometry:
                 rolled_back=rolled_back,
                 energy_curve=np.asarray(finest.energy),
                 diverged=diverged,
+                final_epsilons=(
+                    np.asarray(finest.final_epsilons) if self.keep_residuals else None
+                ),
+                final_valid=(
+                    np.asarray(finest.final_valid) if self.keep_residuals else None
+                ),
             )
         )
 

@@ -220,7 +220,10 @@ def test_energy_curve_regression_golden():
     now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), 2)
     intr = Intrinsics.from_config(CAM)
     for method, expected in golden.items():
-        cfg = SolverConfig(method=method)
+        # pin the exact (unstrided) normal equations: the fixture freezes the
+        # optimizer schedule; lm_jacobian_stride>1 rescales the energy curve
+        # to its point subset by design
+        cfg = SolverConfig(method=method, lm_jacobian_stride=1)
         feats = edge_dvo.extract_ref_features(ref.gray, ref.depth, intr, cfg, (2048, 1024))
         tgts = edge_dvo.prepare_now_targets(now.gray, cfg)
         _, _, diag = edge_dvo.run_level(

@@ -284,6 +284,53 @@ def test_xml_source_start_end(tmp_path):
 
 
 # ----------------------------------------------------------------------
+# live viz wiring
+# ----------------------------------------------------------------------
+
+
+def test_cli_dvo_viz_dir_writes_debug_images(tmp_path, capsys):
+    from rgbd_odometry_tpu.cli import main
+
+    vd = str(tmp_path / "viz")
+    main(
+        [
+            "dvo",
+            "--frames",
+            "7",
+            "--iterations",
+            "8,4,2,2",
+            "--viz-dir",
+            vd,
+            "--viz-every",
+            "3",
+        ]
+    )
+    err = capsys.readouterr().err
+    assert "viz:" in err
+    import os
+
+    names = sorted(os.listdir(vd))
+    # sampled frames 3 and 6 -> overlay/energy/residue/histogram each,
+    # plus trajectory + dense reprojection composite at the end
+    assert "trajectory.png" in names
+    assert "reprojection_debug.png" in names
+    assert any(n.startswith("overlay_") for n in names)
+    assert any(n.startswith("residue_") for n in names)
+    assert any(n.startswith("energy_") for n in names)
+    assert any(n.startswith("histogram_") for n in names)
+    # files are non-trivial decodable PNGs
+    import cv2
+
+    for n in names:
+        img = cv2.imread(os.path.join(vd, n), cv2.IMREAD_UNCHANGED)
+        assert img is not None and img.size > 1000, n
+    # the composite actually aligned something: warped half not all-black
+    comp = cv2.imread(os.path.join(vd, "reprojection_debug.png"), cv2.IMREAD_GRAYSCALE)
+    half = comp[:, : comp.shape[1] // 2]
+    assert (half > 10).mean() > 0.1
+
+
+# ----------------------------------------------------------------------
 # resume continues the source
 # ----------------------------------------------------------------------
 
