@@ -59,7 +59,16 @@ def _make_source(args):
         from rgbd_odometry_tpu.config import CameraConfig
 
         cam = CameraConfig()
-        synth = SyntheticCamera(cam, num_frames=args.frames)
+        degrade = None
+        if args.noise > 0 or args.texture > 0 or args.illum_drift != 0:
+            from rgbd_odometry_tpu.io.synthetic import Degradations
+
+            degrade = Degradations(
+                texture_amp=args.texture,
+                noise_sigma=args.noise,
+                illum_gain_per_frame=args.illum_drift,
+            )
+        synth = SyntheticCamera(cam, num_frames=args.frames, degrade=degrade)
         frames = synth.frames()
         if start:
             frames = itertools.islice(frames, start, None)
@@ -77,6 +86,9 @@ def _add_source_args(p):
     p.add_argument("--start", type=int, default=None)
     p.add_argument("--end", type=int, default=None)
     p.add_argument("--skip", type=int, default=1, help="keep every Nth frame (bagManip harness)")
+    p.add_argument("--noise", type=float, default=0.0, help="synthetic sensor noise sigma (bagManip fixtures)")
+    p.add_argument("--texture", type=float, default=0.0, help="synthetic scene texture amplitude")
+    p.add_argument("--illum-drift", type=float, default=0.0, help="synthetic illumination gain drift per frame")
     p.add_argument("--calib", default=None, help="OpenCV-XML calibration file")
     p.add_argument("--out", default=None, help="TUM-format trajectory output path")
 
@@ -128,21 +140,35 @@ def cmd_dvo(args):
         viz = LiveViz(args.viz_dir, every=args.viz_every)
         odo.keep_residuals = True
     n = 0
-    gray = depth = None
-    for gray, depth, ts in frames:
-        if args.dry:
-            n += 1
-            continue
-        odo.process_frame(gray, depth, ts)
-        if viz is not None:
-            viz.on_frame(odo, gray, depth)
-        n += 1
-        m = odo.metrics[-1]
+
+    def _after(m):
         print(
             f"frame {m.frame_num:4d}  {m.solve_ms:7.1f} ms  E={m.best_energy:9.2f} "
             f"vis={m.visible_ratio:.2f} b^={m.b_cap:6.2f} kf={m.keyframe_reason}",
             file=sys.stderr,
         )
+
+    if args.feeder and not args.dry:
+        # async prefetch: host decode + device_put of frame n+1 overlaps the
+        # device solve of frame n (the ROS pub/sub decoupling, SURVEY §2.6)
+        from rgbd_odometry_tpu.pipeline.feeder import FrameFeeder
+
+        for pyr, ts in FrameFeeder(frames, num_levels=odo.cfg.pyramid.num_levels):
+            odo.process_pyramid(pyr, ts)
+            if viz is not None:
+                viz.on_frame(odo, np.asarray(pyr.gray[0]), np.asarray(pyr.depth[0]))
+            n += 1
+            _after(odo.metrics[-1])
+    else:
+        for gray, depth, ts in frames:
+            if args.dry:
+                n += 1
+                continue
+            odo.process_frame(gray, depth, ts)
+            if viz is not None:
+                viz.on_frame(odo, gray, depth)
+            n += 1
+            _after(odo.metrics[-1])
     if args.dry:
         print(f"dry loop: ingested {n} frames", file=sys.stderr)
         return
@@ -487,6 +513,12 @@ def main(argv=None):
     p.add_argument("--resume", default=None, help="resume from a state snapshot")
     p.add_argument("--viz-dir", default=None, help="write live debug PNGs (overlay/residue/energy/trajectory/reprojection)")
     p.add_argument("--viz-every", type=int, default=5, help="sample every Nth frame for viz")
+    p.add_argument(
+        "--feeder",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="async prefetch thread overlapping host decode with device solve",
+    )
     p.set_defaults(fn=cmd_dvo)
 
     p = sub.add_parser("photometric", help="legacy dense DVO (rgbdSubsc node)")

@@ -32,13 +32,18 @@ class FrameSource(Protocol):
 @dataclass
 class SyntheticCamera:
     """Deterministic synthetic RGB-D stream along a smooth trajectory —
-    the `PrimeSenseCam` role for environments without a sensor."""
+    the `PrimeSenseCam` role for environments without a sensor.
+
+    `degrade` applies texture / sensor-noise / illumination-drift
+    manipulations (io.synthetic.Degradations — the bagManip robustness
+    harness's envisioned fixtures, /root/reference/src/bagManip.cpp:1)."""
 
     camera: CameraConfig
     num_frames: int = 30
     fps: float = 30.0
     seed: int = 0
     step: float = 0.003
+    degrade: object = None  # Optional[io.synthetic.Degradations]
 
     def frames(self):
         from rgbd_odometry_tpu.io.synthetic import render_sequence
@@ -55,7 +60,9 @@ class SyntheticCamera:
             ],
             axis=-1,
         ).astype(np.float32)
-        frames, _ = render_sequence(self.camera, psis, seed=self.seed)
+        frames, _ = render_sequence(
+            self.camera, psis, seed=self.seed, degrade=self.degrade
+        )
         for i, (gray, depth) in enumerate(frames):
             yield gray, depth, i / self.fps
 

@@ -16,9 +16,60 @@ tests assert pose recovery far more tightly than bag replay ever could.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
 from rgbd_odometry_tpu.config import CameraConfig
+
+
+@dataclass(frozen=True)
+class Degradations:
+    """Scene/sensor degradations for robustness validation — the
+    manipulations the reference's stream-manipulator harness envisions
+    ("add noise, tinker with illumination etc.",
+    /root/reference/src/bagManip.cpp:1):
+
+      * `texture_amp` — pose-consistent procedural texture painted on the
+        scene surfaces (world-anchored, so it moves correctly with the
+        camera and adds genuine extra edges/gradients),
+      * `noise_sigma` — per-frame additive Gaussian intensity noise
+        (sensor read noise; independent between frames),
+      * `depth_noise_mm` — per-frame Gaussian depth noise,
+      * `illum_gain_per_frame` / `illum_bias_per_frame` — multiplicative /
+        additive illumination drift accumulating over the sequence
+        (auto-exposure hunting, lighting changes).
+    """
+
+    texture_amp: float = 0.0
+    noise_sigma: float = 0.0
+    depth_noise_mm: float = 0.0
+    illum_gain_per_frame: float = 0.0
+    illum_bias_per_frame: float = 0.0
+    seed: int = 1000
+
+
+def degrade_frame(
+    gray: np.ndarray,
+    depth_mm: np.ndarray,
+    frame_idx: int,
+    deg: "Degradations",
+):
+    """Apply the per-frame (sensor-side) degradations. Texture is scene-side
+    and lives in SyntheticScene; this handles noise + illumination drift."""
+    g = gray.astype(np.float32)
+    gain = 1.0 + deg.illum_gain_per_frame * frame_idx
+    bias = deg.illum_bias_per_frame * frame_idx
+    g = g * gain + bias
+    if deg.noise_sigma > 0:
+        rng = np.random.default_rng(deg.seed + 7919 * frame_idx)
+        g = g + rng.normal(0.0, deg.noise_sigma, g.shape).astype(np.float32)
+    d = depth_mm.astype(np.float32)
+    if deg.depth_noise_mm > 0:
+        rng = np.random.default_rng(deg.seed + 7919 * frame_idx + 1)
+        noise = rng.normal(0.0, deg.depth_noise_mm, d.shape).astype(np.float32)
+        d = np.where(d > 0, np.maximum(d + noise, 1.0), d)
+    return np.round(np.clip(g, 0, 255)).astype(np.float32), d
 
 
 def _in_rot_rect(px, py, x0, y0, w, h, ang):
@@ -34,9 +85,23 @@ class SyntheticScene:
     """Piecewise-constant-intensity scene: background plane at `z_plane` with
     painted rotated rectangles, plus floating billboards at closer depths."""
 
-    def __init__(self, seed: int = 0, z_plane: float = 2.5, n_patches: int = 12, n_billboards: int = 5):
+    def __init__(
+        self,
+        seed: int = 0,
+        z_plane: float = 2.5,
+        n_patches: int = 12,
+        n_billboards: int = 5,
+        texture_amp: float = 0.0,
+    ):
         rng = np.random.default_rng(seed)
         self.z_plane = z_plane
+        # world-anchored procedural texture: a few fixed-frequency sinusoids
+        # of the world hit-point — moves with the scene under camera motion
+        self.texture_amp = float(texture_amp)
+        self._tex_waves = [
+            (rng.uniform(3.0, 9.0), rng.uniform(3.0, 9.0), rng.uniform(0, 2 * np.pi))
+            for _ in range(4)
+        ]
         # painted rectangles on the plane: (x0, y0, w, h, angle, intensity)
         self.patches = []
         for _ in range(n_patches):
@@ -81,6 +146,11 @@ class SyntheticScene:
         for x0, y0, pw, ph, ang, it in self.patches:
             m = _in_rot_rect(px, py, x0, y0, pw, ph, ang)
             inten = np.where(m, np.float32(it), inten)
+        if self.texture_amp > 0:
+            tex = np.zeros(shape, np.float32)
+            for fx_, fy_, ph_ in self._tex_waves:
+                tex += np.sin(fx_ * px + fy_ * py + ph_).astype(np.float32)
+            inten = inten + (self.texture_amp / len(self._tex_waves)) * tex
         # depth = camera-frame z of the hit point: X_cam = R^T (X_world - o)
         plane_pt = np.stack([px, py, np.full_like(px, self.z_plane)], -1)
         hit_cam_z = ((plane_pt - o) @ R)[..., 2]
@@ -130,33 +200,55 @@ class SyntheticScene:
         return gray, depth_mm
 
 
-def render_pair(cam: CameraConfig, psi: np.ndarray, seed: int = 0, supersample: int = 3):
+def render_pair(
+    cam: CameraConfig,
+    psi: np.ndarray,
+    seed: int = 0,
+    supersample: int = 3,
+    degrade: Degradations | None = None,
+):
     """Render (ref, now) frame pair where the now-camera pose in the ref frame
     is se3_exp(psi) — the exact ground truth the solver should recover."""
     from rgbd_odometry_tpu.core import geometry as geo
     import jax.numpy as jnp
 
-    scene = SyntheticScene(seed=seed)
+    scene = SyntheticScene(
+        seed=seed, texture_amp=degrade.texture_amp if degrade else 0.0
+    )
     R_gt, t_gt = geo.se3_exp(jnp.asarray(psi, jnp.float32))
     R_gt = np.asarray(R_gt, np.float64)
     t_gt = np.asarray(t_gt, np.float64)
     ref_gray, ref_depth = scene.render(cam, np.eye(3), np.zeros(3), supersample)
     now_gray, now_depth = scene.render(cam, R_gt, t_gt, supersample)
+    if degrade is not None:
+        ref_gray, ref_depth = degrade_frame(ref_gray, ref_depth, 0, degrade)
+        now_gray, now_depth = degrade_frame(now_gray, now_depth, 1, degrade)
     return (ref_gray, ref_depth), (now_gray, now_depth), (R_gt, t_gt)
 
 
-def render_sequence(cam: CameraConfig, psis: np.ndarray, seed: int = 0, supersample: int = 3):
+def render_sequence(
+    cam: CameraConfig,
+    psis: np.ndarray,
+    seed: int = 0,
+    supersample: int = 3,
+    degrade: Degradations | None = None,
+):
     """Render a trajectory: psis (T, 6) are *absolute* camera poses (twists)
     in the world frame. Returns list of (gray, depth_mm) and (R, t) tuples."""
     from rgbd_odometry_tpu.core import geometry as geo
     import jax.numpy as jnp
 
-    scene = SyntheticScene(seed=seed)
+    scene = SyntheticScene(
+        seed=seed, texture_amp=degrade.texture_amp if degrade else 0.0
+    )
     frames, poses = [], []
-    for psi in np.asarray(psis):
+    for i, psi in enumerate(np.asarray(psis)):
         R, t = geo.se3_exp(jnp.asarray(psi, jnp.float32))
         R = np.asarray(R, np.float64)
         t = np.asarray(t, np.float64)
-        frames.append(scene.render(cam, R, t, supersample))
+        gray, depth = scene.render(cam, R, t, supersample)
+        if degrade is not None:
+            gray, depth = degrade_frame(gray, depth, i, degrade)
+        frames.append((gray, depth))
         poses.append((R, t))
     return frames, poses

@@ -93,6 +93,11 @@ class EdgeDvoOdometry:
         # retain per-frame residual vectors in FrameMetrics (viz sinks need
         # them; off by default to keep long runs light)
         self.keep_residuals = False
+        # device-resident warm-start pose mirroring (_R, _t): on a tunneled
+        # device every host->device put is a synchronous ~30 ms RTT, so the
+        # steady-state loop must never re-upload the pose it just computed.
+        # None = out of sync; the next step pays one upload.
+        self._warm_dev = None
 
         scfg = self.cfg.solver
         pyr = self.cfg.pyramid
@@ -110,6 +115,18 @@ class EdgeDvoOdometry:
             )
         )
 
+        # fused per-frame step: targets + coarse-to-fine solve in ONE jit
+        # call. On a tunneled device every dispatch+sync costs a full RTT
+        # (~28 ms here) and the streaming loop is sequential, so calls per
+        # frame bound the frame rate. The targets are returned (device-
+        # resident) so a rollback re-solve can reuse them without recompute.
+        def _step(feats, gray_pyr, R0, t0):
+            tgts = edge_dvo.prepare_now_targets(gray_pyr, scfg)
+            R, t, diags = edge_dvo.solve_pyramid(feats, tgts, self.intr, scfg, R0, t0)
+            return R, t, diags[0], tgts
+
+        self._step = jax.jit(_step)
+
     # ------------------------------------------------------------------
     def process_frame(
         self,
@@ -126,17 +143,29 @@ class EdgeDvoOdometry:
         is a delta (R, t) to compose onto the warm start — e.g. an
         IMU-dead-reckoned inter-frame motion (BASELINE.json config 5).
         """
+        pyr = build_pyramid(
+            jnp.asarray(gray0, jnp.float32),
+            jnp.asarray(depth0_mm, jnp.float32),
+            self.cfg.pyramid.num_levels,
+        )
+        return self.process_pyramid(pyr, timestamp, pose_prior)
+
+    def process_pyramid(
+        self,
+        pyr: FramePyramid,
+        timestamp: float = 0.0,
+        pose_prior: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Feed one already-built (possibly device-resident) frame pyramid —
+        the entry the async `FrameFeeder` uses so host decode/transfer hides
+        behind device compute (the ROS pub/sub decoupling, SURVEY.md §2.6)."""
         self._frame_num += 1
         if pose_prior is not None:
             dR, dt = pose_prior
             # warm start: previous relative pose composed with the prior delta
             self._t = self._t + self._R @ np.asarray(dt, np.float64)
             self._R = self._R @ np.asarray(dR, np.float64)
-        pyr = build_pyramid(
-            jnp.asarray(gray0, jnp.float32),
-            jnp.asarray(depth0_mm, jnp.float32),
-            self.cfg.pyramid.num_levels,
-        )
+            self._warm_dev = None  # host-side compose -> re-upload once
 
         if self._frame_num == 0:
             # bootstrap: first frame becomes the reference keyframe
@@ -151,21 +180,27 @@ class EdgeDvoOdometry:
             return self.gop.global_pose(0)
 
         t_start = time.perf_counter()
-        targets = self._prepare_now(pyr.gray)
-        R, t, diags = self._solve(
+        if self._warm_dev is None:
+            self._warm_dev = (
+                jnp.asarray(self._R, jnp.float32),
+                jnp.asarray(self._t, jnp.float32),
+            )
+        R_d, t_d, finest_d, targets = self._step(
             self._ref_feats,
-            targets,
-            jnp.asarray(self._R, jnp.float32),
-            jnp.asarray(self._t, jnp.float32),
+            pyr.gray,
+            self._warm_dev[0],
+            self._warm_dev[1],
         )
-        jax.block_until_ready((R, t))
+        # ONE device->host transfer for everything the control flow reads:
+        # over a tunneled device each separate scalar pull costs a full RTT
+        # (~30 ms here), which would cap the streaming loop at a few Hz
+        R, t, finest = jax.device_get((R_d, t_d, finest_d))
         solve_ms = (time.perf_counter() - t_start) * 1000.0
 
-        finest = diags[0]
-        eps = np.asarray(finest.final_epsilons)
+        eps = finest.final_epsilons
         b_cap = residual_b_cap(eps, int(finest.num_points))
         vis = float(finest.visible_ratio)
-        n_reproj = int(np.asarray(finest.final_valid).sum())
+        n_reproj = int(finest.final_valid.sum())
 
         # ---- keyframe decision (:2122-2160) --------------------------
         kf_cfg = self.cfg.keyframe
@@ -193,16 +228,15 @@ class EdgeDvoOdometry:
             self._last_ref_frame = self._frame_num - 1
             self._set_ref(self._prev_pyr)
             self.gop.update_most_recent_to_keyframe(reason)
-            R, t, diags = self._solve(
+            R_d, t_d, diags = self._solve(
                 self._ref_feats,
                 targets,
                 jnp.eye(3, dtype=jnp.float32),
                 jnp.zeros(3, dtype=jnp.float32),
             )
-            jax.block_until_ready((R, t))
+            R, t, finest = jax.device_get((R_d, t_d, diags[0]))
             rolled_back = True
-            finest = diags[0]
-            eps = np.asarray(finest.final_epsilons)
+            eps = finest.final_epsilons
             b_cap = residual_b_cap(eps, int(finest.num_points))
             vis = float(finest.visible_ratio)
         elif reason != 0 and not kf_cfg.rollback_resolve:
@@ -227,6 +261,10 @@ class EdgeDvoOdometry:
         if not diverged:
             self._R = R_np
             self._t = t_np
+            # next frame warm-starts from the device copy we already hold
+            self._warm_dev = (R_d, t_d)
+        else:
+            self._warm_dev = None
         self.gop.push_ordinary(self._frame_num, self._R, self._t, timestamp)
         self._record(solve_ms, finest, b_cap, vis, reason, rolled_back, diverged)
         self._prev_pyr = pyr
@@ -239,6 +277,8 @@ class EdgeDvoOdometry:
         self._ref_feats = self._extract_ref(pyr.gray, pyr.depth)
         self._R = np.eye(3)
         self._t = np.zeros(3)
+        # identity is built on-device (no host transfer)
+        self._warm_dev = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
 
     def _record(self, solve_ms, finest, b_cap, vis, reason, rolled_back, diverged=False):
         self.metrics.append(
