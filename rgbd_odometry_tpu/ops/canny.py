@@ -83,27 +83,67 @@ def _dilate3x3(mask: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _pack_rows(mask: jnp.ndarray):
+    """Pack a (..., H, W) bool mask into (..., ceil(H/32), W) uint32 words:
+    bit b of word k holds row 32k+b. TPU lanes are 128 wide along the LAST
+    axis, so packing along H keeps the W axis dense — each bitwise pass then
+    touches ~H/32 the vector registers of the unpacked mask."""
+    h = mask.shape[-2]
+    k = (h + 31) // 32
+    pad = k * 32 - h
+    if pad:
+        pad_cfg = [(0, 0)] * (mask.ndim - 2) + [(0, pad), (0, 0)]
+        mask = jnp.pad(mask, pad_cfg)
+    m = mask.reshape(*mask.shape[:-2], k, 32, mask.shape[-1]).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[:, None]
+    return jnp.sum(m * weights, axis=-2).astype(jnp.uint32)
+
+
+def _unpack_rows(packed: jnp.ndarray, h: int) -> jnp.ndarray:
+    bits = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[:, None]
+    m = (packed[..., :, None, :] & bits) != 0
+    return m.reshape(*packed.shape[:-2], packed.shape[-2] * 32, packed.shape[-1])[
+        ..., :h, :
+    ]
+
+
+def _dilate3x3_packed(b: jnp.ndarray) -> jnp.ndarray:
+    """8-connected dilation on row-packed words.
+
+    Vertical neighbours are bit shifts (with cross-word carries from the
+    adjacent word rows); horizontal neighbours are lane shifts."""
+    up_carry = jnp.roll(b, 1, axis=-2) >> 31
+    up_carry = up_carry.at[..., 0, :].set(0)
+    down_carry = jnp.roll(b, -1, axis=-2) << 31
+    down_carry = down_carry.at[..., -1, :].set(0)
+    v = b | (b << 1) | up_carry | (b >> 1) | down_carry
+    left = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(1, 0)])[..., :, : v.shape[-1]]
+    right = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, 1)])[..., :, 1:]
+    return v | left | right
+
+
 def hysteresis(
     strong: jnp.ndarray,
     weak: jnp.ndarray,
     max_iters: int | None = None,
-    steps_per_check: int = 1,
 ) -> jnp.ndarray:
     """8-connected propagation of `strong` through `weak` to a fixpoint.
 
-    Equivalent to OpenCV's BFS; runs as a `lax.while_loop` of 3x3 dilations
-    (each pass extends every edge chain by one pixel in all directions).
-
-    `steps_per_check` dilations run per convergence check. Measured on v5e
-    (batch 64, 320x240, ~44-pass fixpoint): the loop is op-bound, not
-    sync-bound — 6 steps/check was 1.6x SLOWER (12.6 vs 7.8 ms) because
-    steps past the fixpoint still pay full dilation cost. Default 1.
+    Equivalent to OpenCV's BFS. The fixpoint is ~40 one-pixel dilation passes
+    deep on real scenes and each pass over an unpacked (H, W) bool mask made
+    the while_loop op-bound (measured 3.6 ms of a 64-batch 320x240 target
+    step on v5e). The masks are bit-packed 32 rows/uint32 word first, making
+    every dilation pass + convergence check ~30x smaller.
     """
+    h = strong.shape[-2]
     if max_iters is None:
         # the changed-flag terminates at the fixpoint; this cap is only a
         # pathological backstop. H*W bounds ANY 8-connected propagation path
         # (serpentine/spiral weak chains can exceed H+W steps).
         max_iters = strong.shape[-2] * strong.shape[-1]
+
+    weak_p = _pack_rows(weak)
+    init_p = _pack_rows(strong) & weak_p
 
     def cond(state):
         edges, changed, it = state
@@ -111,14 +151,12 @@ def hysteresis(
 
     def body(state):
         edges, _, it = state
-        new = edges
-        for _ in range(steps_per_check):
-            new = (new | _dilate3x3(new)) & weak
-        return new, jnp.any(new != edges), it + steps_per_check
+        new = (edges | _dilate3x3_packed(edges)) & weak_p
+        return new, jnp.any(new != edges), it + 1
 
-    init = (strong & weak, jnp.asarray(True), jnp.asarray(0, jnp.int32))
-    edges, _, _ = jax.lax.while_loop(cond, body, init)
-    return edges
+    init = (init_p, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    edges_p, _, _ = jax.lax.while_loop(cond, body, init)
+    return _unpack_rows(edges_p, h)
 
 
 def canny(

@@ -16,6 +16,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: this host has ONE CPU core, so jit
+# compiles dominate the suite's wall time (~12 min cold). Keyed on the
+# computation hash, so code changes naturally miss; repeat runs of unchanged
+# tests skip compilation entirely. (XLA:CPU may warn about machine-feature
+# mismatches when artifacts cross process generations — harmless here.)
+jax.config.update("jax_compilation_cache_dir", "/tmp/rgbd_odometry_tpu_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 
