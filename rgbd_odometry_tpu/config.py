@@ -168,6 +168,13 @@ class SolverConfig:
     # distance-transform min-plus backend: "xla" (fused broadcast+reduce) or
     # "pallas" (explicit VMEM-staged kernel, rgbd_odometry_tpu.pallas.edt)
     edt_backend: str = "xla"
+    # >0 restricts the EDT row-phase to a +-N-column window: exact for all
+    # distances <= N, overestimates beyond (ops/distance_transform.py).
+    # ~5x cheaper at 320x240 with N=32. Use with normalize_dt=False (the
+    # window changes the image max, hence the normalization scale); the
+    # gauss_newton weights are normalization-independent (pixel units).
+    # 0 = full exact transform (reference parity).
+    edt_window: int = 0
     # Jacobian flavour: "reference" reproduces the dehomogenized-coordinate
     # quirk of /root/reference/src/SolveDVO.cpp:340-401 (translation block
     # scaled by each point's depth — fine for a sub-gradient direction);

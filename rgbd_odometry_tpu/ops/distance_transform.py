@@ -61,6 +61,32 @@ def edt_l2(zero_mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(edt_l2_squared(zero_mask))
 
 
+def edt_l2_squared_windowed(zero_mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Squared L2 EDT with the row-phase min-plus restricted to a +-radius
+    column window.
+
+    EXACT for every pixel whose true distance is <= radius (the minimizing
+    column offset |x-i*| is bounded by the distance itself); pixels farther
+    from all edges get an overestimate (>= true). The full min-plus is
+    O(W) work per output; this is O(2*radius+1) — ~5x cheaper at W=320,
+    R=32. Intended for the production Gauss-Newton profile, whose robust
+    weight 6/(6+r^2) makes residuals beyond ~10 px negligible anyway; the
+    reference-parity mode keeps the exact transform.
+    """
+    g = _column_distance(zero_mask)
+    g = jnp.minimum(g, 65504.0)
+    g2 = g * g
+    d2 = g2
+    big = jnp.asarray(4.0e9, g2.dtype)
+    for dx in range(1, radius + 1):
+        c = float(dx * dx)
+        pad = [(0, 0)] * (g2.ndim - 1)
+        left = jnp.pad(g2, pad + [(dx, 0)], constant_values=big)[..., : g2.shape[-1]]
+        right = jnp.pad(g2, pad + [(0, dx)], constant_values=big)[..., dx:]
+        d2 = jnp.minimum(d2, jnp.minimum(left, right) + c)
+    return d2
+
+
 def normalize_minmax(dt: jnp.ndarray, lo: float = 0.0, hi: float = 255.0) -> jnp.ndarray:
     """cv::normalize(..., 0, 255, NORM_MINMAX) over the full image
     (/root/reference/src/SolveDVO.cpp:1712)."""

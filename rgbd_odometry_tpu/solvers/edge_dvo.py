@@ -150,7 +150,11 @@ def prepare_now_level(gray: jnp.ndarray, cfg: SolverConfig) -> NowLevel:
     normalization, central-difference gradients of the DT.
     """
     edges = canny(gray, cfg.canny_low, cfg.canny_high)
-    if cfg.edt_backend == "pallas":
+    if cfg.edt_window > 0:
+        from rgbd_odometry_tpu.ops.distance_transform import edt_l2_squared_windowed
+
+        dt_raw = jnp.sqrt(edt_l2_squared_windowed(edges, cfg.edt_window))
+    elif cfg.edt_backend == "pallas":
         from rgbd_odometry_tpu.pallas.edt import edt_l2_squared_pallas
 
         interp = jax.default_backend() != "tpu"

@@ -73,6 +73,51 @@ def test_gradient_zero_at_clamped_borders():
     assert float(gv[1]) == 0.0
 
 
+def test_windowed_edt_exact_within_radius():
+    """edt_l2_squared_windowed == exact EDT wherever true distance <= radius,
+    and never underestimates elsewhere."""
+    from rgbd_odometry_tpu.ops.distance_transform import (
+        edt_l2_squared,
+        edt_l2_squared_windowed,
+    )
+
+    rng = np.random.default_rng(0)
+    mask = rng.uniform(size=(48, 64)) < 0.01  # sparse edges -> big distances
+    mask[20, 30] = True
+    exact = np.asarray(edt_l2_squared(jnp.asarray(mask)))
+    for radius in (4, 8, 16):
+        win = np.asarray(edt_l2_squared_windowed(jnp.asarray(mask), radius))
+        inside = exact <= radius * radius
+        np.testing.assert_allclose(win[inside], exact[inside], rtol=1e-6)
+        assert (win + 1e-6 >= exact).all()
+    # degenerate: no edges at all -> finite overestimates, no NaN/inf
+    empty = np.asarray(edt_l2_squared_windowed(jnp.zeros((16, 16), bool), 4))
+    assert np.isfinite(empty).all()
+
+
+def test_gauss_newton_windowed_profile_accuracy():
+    """The production profile (edt_window + unnormalized pixel-unit DT)
+    recovers pose as well as the exact-EDT default."""
+    cam = CameraConfig(width=160, height=120, fx=176.0, fy=176.0, cx=79.5, cy=59.5)
+    intr = Intrinsics.from_config(cam)
+    psi = np.array([0.012, -0.008, 0.006, 0.004, -0.005, 0.003], np.float32)
+    (rg, rd), (ng, nd), _ = render_pair(cam, psi, seed=0)
+    ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), 2)
+    now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), 2)
+    cfg = SolverConfig(
+        method="gauss_newton",
+        iterations=(15, 6),
+        edt_window=16,
+        normalize_dt=False,
+    )
+    feats = edge_dvo.extract_ref_features(ref.gray, ref.depth, intr, cfg, (4096, 1024))
+    tgts = edge_dvo.prepare_now_targets(now.gray, cfg)
+    R, t, _ = edge_dvo.solve_pyramid(feats, tgts, intr, cfg)
+    R_gt, t_gt = geo.se3_exp(jnp.asarray(psi))
+    assert float(jnp.linalg.norm(t - t_gt)) < 0.02
+    assert float(jnp.linalg.norm(R - R_gt)) < 0.02
+
+
 @pytest.mark.parametrize("jstride", [1, 4])
 def test_gauss_newton_recovers_pose_with_jacobian_stride(jstride):
     """The strided normal equations must not change what the solver finds:
