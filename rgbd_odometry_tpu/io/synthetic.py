@@ -96,10 +96,18 @@ class SyntheticScene:
         rng = np.random.default_rng(seed)
         self.z_plane = z_plane
         # world-anchored procedural texture: a few fixed-frequency sinusoids
-        # of the world hit-point — moves with the scene under camera motion
+        # of the world hit-point — moves with the scene under camera motion.
+        # Drawn from a SEPARATE rng stream so enabling texture (or adding
+        # texture parameters) never changes the patch/billboard layout of
+        # existing seeds.
         self.texture_amp = float(texture_amp)
+        tex_rng = np.random.default_rng(seed + 977)
         self._tex_waves = [
-            (rng.uniform(3.0, 9.0), rng.uniform(3.0, 9.0), rng.uniform(0, 2 * np.pi))
+            (
+                tex_rng.uniform(3.0, 9.0),
+                tex_rng.uniform(3.0, 9.0),
+                tex_rng.uniform(0, 2 * np.pi),
+            )
             for _ in range(4)
         ]
         # painted rectangles on the plane: (x0, y0, w, h, angle, intensity)

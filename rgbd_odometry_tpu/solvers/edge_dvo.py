@@ -134,7 +134,15 @@ def extract_ref_level(
     valid = score > 1.0
     ys = (idx // w).astype(gray.dtype)
     xs = (idx % w).astype(gray.dtype)
-    z = jnp.where(valid, jnp.take(depth_mm.reshape(-1), idx), 0.0) / 1000.0
+    if cfg.gather_mode == "mxu":
+        # point gathers serialize on TPU; the one-hot matmul is exact for
+        # integer coordinates (floor mode) and ~4x faster here
+        z_raw = gather_channels_mm(
+            depth_mm[None], xs, ys, bilinear=False, precision=_PREC
+        )[0]
+    else:
+        z_raw = jnp.take(depth_mm.reshape(-1), idx)
+    z = jnp.where(valid, z_raw, 0.0) / 1000.0
     x3 = z * (xs - intr_level.cx) / intr_level.fx
     y3 = z * (ys - intr_level.cy) / intr_level.fy
     pts3d = jnp.stack([x3, y3, z], axis=-1)

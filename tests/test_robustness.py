@@ -58,7 +58,7 @@ def test_illumination_drift_accumulates():
     "name,deg,tol_t",
     [
         ("clean", None, 0.01),
-        ("texture", Degradations(texture_amp=25.0), 0.01),
+        ("texture", Degradations(texture_amp=25.0), 0.015),
         ("noise", Degradations(noise_sigma=2.0), 0.015),
         ("illum", Degradations(illum_gain_per_frame=0.05), 0.015),
         (
