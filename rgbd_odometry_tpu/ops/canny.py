@@ -154,7 +154,11 @@ def hysteresis(
         new = (edges | _dilate3x3_packed(edges)) & weak_p
         return new, jnp.any(new != edges), it + 1
 
-    init = (init_p, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    # the initial changed-flag is derived from the data (trivially True) so
+    # its "varying" type matches the body's output under shard_map — a
+    # literal True constant would be mesh-unvarying and fail to unify
+    changed0 = jnp.sum(init_p, dtype=jnp.uint32) >= 0
+    init = (init_p, changed0, jnp.asarray(0, jnp.int32))
     edges_p, _, _ = jax.lax.while_loop(cond, body, init)
     return _unpack_rows(edges_p, h)
 

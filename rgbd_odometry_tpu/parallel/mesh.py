@@ -105,6 +105,59 @@ def build_sharded_train_step(
     return step
 
 
+def build_shardmap_train_step(
+    mesh: Mesh,
+    intr: Intrinsics,
+    cfg: SolverConfig,
+    max_points: Tuple[int, ...],
+):
+    """`shard_map` variant of the train step: per-device code with EXPLICIT
+    collectives instead of compiler-inserted ones.
+
+    Each device aligns its local batch shard, then the trajectory statistics
+    are reduced across the mesh with hand-placed `lax.psum` over ICI —
+    the point-count-weighted global means every chip ends up holding
+    replicated. Numerically identical to `build_sharded_train_step` (whose
+    psum XLA inserts); this form is the one that generalizes when a future
+    step needs collectives XLA cannot infer (e.g. ring permutations of
+    keyframe features)."""
+    from jax import shard_map
+
+    shard_p = P(DATA_AXIS)
+
+    @partial(jax.jit)
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(shard_p, shard_p, shard_p),
+        out_specs=((shard_p, shard_p), P()),
+        # the body is purely per-shard except the explicit psums; the
+        # varying-axes analysis would otherwise demand pvary() on every
+        # constant the solver's scans initialize (identity poses, zero
+        # residual buffers, ...)
+        check_vma=False,
+    )
+    def step(ref_gray_pyr, ref_depth_pyr, now_gray_pyr):
+        R, t, diags = jax.vmap(
+            lambda rg, rd, ng: edge_dvo.align_pair(rg, rd, ng, intr, cfg, max_points)
+        )(ref_gray_pyr, ref_depth_pyr, now_gray_pyr)
+        finest = diags[0]
+        # explicit cross-chip reductions over ICI
+        local_n = jnp.asarray(finest.best_energy.shape[0], jnp.float32)
+        n = jax.lax.psum(local_n, DATA_AXIS)
+        stats = {
+            "mean_energy": jax.lax.psum(jnp.sum(finest.best_energy), DATA_AXIS) / n,
+            "mean_visible_ratio": jax.lax.psum(
+                jnp.sum(finest.visible_ratio), DATA_AXIS
+            )
+            / n,
+            "total_points": jax.lax.psum(jnp.sum(finest.num_points), DATA_AXIS),
+        }
+        return (R, t), stats
+
+    return step
+
+
 def shard_batch(mesh: Mesh, pytree):
     """Place a host pytree onto the mesh with the batch axis sharded."""
     shard = batch_spec(mesh)

@@ -67,6 +67,30 @@ def test_sharded_aligner_matches_single_device():
     np.testing.assert_allclose(np.asarray(t)[3], np.asarray(t1), atol=5e-5)
 
 
+def test_shardmap_step_matches_auto_sharded():
+    """The explicit shard_map + lax.psum step equals the NamedSharding step
+    (whose collectives XLA inserts) — poses exactly, stats to f32 tolerance."""
+    cam, rg_b, rd_b, ng_b, _ = _batched_pairs(batch=16)
+    intr = Intrinsics.from_config(cam)
+    cfg = SolverConfig(method="gauss_newton", iterations=(3, 2))
+    m = pmesh.make_mesh()
+    auto = pmesh.build_sharded_train_step(m, intr, cfg, (512, 256))
+    expl = pmesh.build_shardmap_train_step(m, intr, cfg, (512, 256))
+    batch = pmesh.shard_batch(m, (rg_b, rd_b, ng_b))
+    (R_a, t_a), s_a = auto(*batch)
+    (R_e, t_e), s_e = expl(*batch)
+    np.testing.assert_array_equal(np.asarray(R_a), np.asarray(R_e))
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_e))
+    np.testing.assert_allclose(
+        float(s_a["mean_energy"]), float(s_e["mean_energy"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(s_a["mean_visible_ratio"]), float(s_e["mean_visible_ratio"]), rtol=1e-6
+    )
+    assert int(s_a["total_points"]) == int(s_e["total_points"])
+    assert s_e["mean_energy"].sharding.is_fully_replicated
+
+
 def test_sharded_train_step_stats_replicated():
     cam, rg_b, rd_b, ng_b, _ = _batched_pairs(batch=16)
     intr = Intrinsics.from_config(cam)
