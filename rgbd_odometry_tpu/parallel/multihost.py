@@ -7,10 +7,13 @@ sweep (many TUM sequences, or disjoint windows of one long sequence), the
 global mesh carries the batch axis across all chips, and only tiny
 trajectory statistics cross hosts.
 
-This module is exercised in single-process form by the test suite (a 1-host
-"cluster" degenerates to parallel.mesh); the multi-process path needs a real
-multi-host pod, which this container does not have — the API is kept to the
-standard jax.distributed recipe so it runs unchanged there.
+The multi-process path is EXECUTED by the test suite: two local processes
+(each one "host" with 2 virtual CPU devices) initialize through the
+coordinator, align disjoint overlapping windows of one sequence, reduce a
+statistic across the process boundary (Gloo here, DCN on a pod), and stitch
+their window trajectories (tests/test_multihost_process.py +
+tests/multihost_worker.py). The same recipe runs unchanged on a real
+multi-host pod slice.
 """
 
 from __future__ import annotations

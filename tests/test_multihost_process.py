@@ -1,0 +1,70 @@
+"""EXECUTED multi-process multihost test.
+
+Round-1 shipped parallel/multihost.py with the caveat that jax.distributed
+had never actually run multi-process in this container. It can: two local
+processes (each a stand-in for one pod host with 2 virtual CPU devices)
+initialize through the coordinator, align disjoint overlapping windows of
+one sequence, psum a statistic across the process boundary (Gloo here, DCN
+on a pod), and their window trajectories stitch into the global one.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_sequence_sweep(tmp_path):
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    port = _free_port()
+    nproc = 2
+    outs = [str(tmp_path / f"w{i}.npz") for i in range(nproc)]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(nproc), str(port), outs[i]],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(worker))),
+        )
+        for i in range(nproc)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{logs[i][-3000:]}"
+
+    # stitch the two window trajectories into the global one
+    from rgbd_odometry_tpu.parallel.multihost import stitch_windows
+
+    data = [np.load(o) for o in outs]
+    assert data[0]["lo"] == 0 and data[1]["lo"] == 3  # windows (0,4), (3,7)
+    # both processes saw the SAME globally-reduced statistic
+    assert data[0]["mean_window_err"] == pytest.approx(
+        float(data[1]["mean_window_err"])
+    )
+    R_g, t_g = stitch_windows([(d["R"], d["t"]) for d in data], overlap=1)
+    assert R_g.shape == (7, 3, 3) and t_g.shape == (7, 3)
+    # the stitched trajectory tracks the ground-truth motion scale:
+    # absolute twists step 0.004/frame along x -> ~cm-scale path; require
+    # gross-divergence-free stitching (window errs are mm-scale themselves)
+    assert np.isfinite(t_g).all()
+    steps = np.linalg.norm(np.diff(t_g, axis=0), axis=-1)
+    assert (steps < 0.05).all()
+    assert float(data[0]["mean_window_err"]) < 0.05
