@@ -441,6 +441,81 @@ def cmd_probe(args):
     )
 
 
+def cmd_fused(args):
+    """Full-pipeline run (BASELINE.json config 5): IMU-prior warm starts +
+    edge DVO + quality-gated sparse-PnP fallback over a stream replay.
+    With the synthetic source, per-frame IMU windows are derived from the
+    ground-truth inter-frame twists (plus optional gyro/accel noise) — the
+    ImuDeadReckon node's role (/root/reference/src/ImuDeadReckon.cpp)."""
+    from rgbd_odometry_tpu.config import (
+        CameraConfig,
+        KeyframeConfig,
+        PipelineConfig,
+        SolverConfig,
+    )
+    from rgbd_odometry_tpu.core import geometry as geo
+    from rgbd_odometry_tpu.pipeline.fused import FusedConfig, FusedOdometry
+
+    import jax.numpy as jnp
+
+    frames, cam, gt = _make_source(args)
+    cfg = PipelineConfig(
+        camera=cam or CameraConfig(),
+        solver=SolverConfig(
+            method=args.method,
+            iterations=tuple(int(x) for x in args.iterations.split(",")),
+        ),
+        keyframe=KeyframeConfig(
+            force_every=args.keyframe_every, enable_quality_triggers=True
+        ),
+    )
+    fused = FusedOdometry(cfg, FusedConfig(use_imu_prior=not args.no_imu))
+    rng = np.random.default_rng(0)
+    dt = 1.0 / 30.0
+    prev_R = prev_t = None
+    n = 0
+    for gray, depth, ts in frames:
+        imu_window = None
+        if gt is not None and not args.no_imu and n > 0:
+            # inter-frame delta from GT absolute poses -> a 1-sample IMU
+            # window reproducing it under dead reckoning from rest
+            gt_R, gt_t = gt
+            i = min(n, len(gt_t) - 1)
+            dR = prev_R.T @ gt_R[i]
+            dtr = prev_R.T @ (gt_t[i] - prev_t)
+            w = np.asarray(geo.so3_log(jnp.asarray(dR, jnp.float32))) / dt
+            a = 2.0 * dtr / (dt * dt)
+            w = w + rng.normal(0, args.imu_noise, 3)
+            a = a + rng.normal(0, args.imu_noise * 10, 3)
+            imu_window = (a[None, :], w[None, :], dt)
+        if gt is not None:
+            gt_R, gt_t = gt
+            i = min(n, len(gt_t) - 1)
+            prev_R, prev_t = gt_R[i], gt_t[i]
+        fused.process_frame(gray, depth, ts, imu_window=imu_window)
+        m = fused.odo.metrics[-1]
+        print(
+            f"frame {m.frame_num:4d}  E={m.best_energy:9.2f} vis={m.visible_ratio:.2f} "
+            f"b^={m.b_cap:6.2f} kf={m.keyframe_reason}"
+            + (" [PnP fallback]" if m.frame_num in fused.fallback_frames else ""),
+            file=sys.stderr,
+        )
+        n += 1
+    R, t, ts_arr = fused.trajectory()
+    if args.out:
+        from rgbd_odometry_tpu.io.tum import write_trajectory
+
+        write_trajectory(args.out, R, t, ts_arr)
+    summary = {"frames": n, "fallback_frames": fused.fallback_frames}
+    if gt is not None:
+        from rgbd_odometry_tpu.eval.ate import ate_rmse
+
+        gt_R, gt_t = gt
+        n2 = min(len(t), len(gt_t))
+        summary["ate_rmse"] = ate_rmse(t[:n2], gt_t[:n2], align=False)
+    print(json.dumps(summary))
+
+
 def cmd_dump(args):
     """Write a source as reference-format XML pyramid dumps — the
     `__ENABLE_IM_WRITE__` writer (/root/reference/src/publisherPyD.cpp:
@@ -560,6 +635,15 @@ def main(argv=None):
     p.add_argument("--method", default="subgradient", choices=["subgradient", "gauss_newton"])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_probe)
+
+    p = sub.add_parser("fused", help="IMU prior + edge DVO + sparse-PnP fallback (BASELINE config 5)")
+    _add_source_args(p)
+    p.add_argument("--method", default="gauss_newton", choices=["gauss_newton", "subgradient"])
+    p.add_argument("--iterations", default="18,6,4,3")
+    p.add_argument("--keyframe-every", type=int, default=5)
+    p.add_argument("--no-imu", action="store_true")
+    p.add_argument("--imu-noise", type=float, default=0.0, help="gyro noise sigma (rad/s); accel gets 10x")
+    p.set_defaults(fn=cmd_fused)
 
     p = sub.add_parser("dump", help="write reference-format XML pyramid dumps (__ENABLE_IM_WRITE__)")
     _add_source_args(p)

@@ -38,6 +38,18 @@ def test_cli_dvo_dry(capsys):
     assert "ingested 4 frames" in err
 
 
+def test_cli_fused(tmp_path, capsys):
+    """BASELINE.json config 5 through the CLI: IMU prior + edge DVO +
+    PnP-fallback wiring runs end-to-end and stays accurate."""
+    est = str(tmp_path / "fused.txt")
+    main(["fused", "--frames", "6", "--iterations", "10,5,3,2", "--out", est])
+    out = capsys.readouterr()
+    summary = json.loads(out.out.strip().splitlines()[-1])
+    assert summary["frames"] == 6
+    assert summary["ate_rmse"] < 0.02
+    assert np.loadtxt(est, comments="#").shape[0] == 6
+
+
 def test_cli_dvo_and_eval(tmp_path, capsys):
     est = str(tmp_path / "est.txt")
     main(["dvo", "--frames", "5", "--iterations", "12,5,3,2", "--out", est])
