@@ -139,6 +139,15 @@ def cmd_dvo(args):
 
         viz = LiveViz(args.viz_dir, every=args.viz_every)
         odo.keep_residuals = True
+    trace_cm = None
+    if args.trace_dir:
+        # deep-dive device trace (TensorBoard format) + stage stats — the
+        # reference's printf timing (/root/reference/src/SolveDVO.cpp:
+        # 2092-2109) made first-class
+        from rgbd_odometry_tpu.utils.tracing import profiler_trace
+
+        trace_cm = profiler_trace(args.trace_dir)
+        trace_cm.__enter__()
     n = 0
 
     def _after(m):
@@ -169,6 +178,9 @@ def cmd_dvo(args):
                 viz.on_frame(odo, gray, depth)
             n += 1
             _after(odo.metrics[-1])
+    if trace_cm is not None:
+        trace_cm.__exit__(None, None, None)
+        print(f"jax.profiler trace -> {args.trace_dir}", file=sys.stderr)
     if args.dry:
         print(f"dry loop: ingested {n} frames", file=sys.stderr)
         return
@@ -594,6 +606,7 @@ def main(argv=None):
         default=True,
         help="async prefetch thread overlapping host decode with device solve",
     )
+    p.add_argument("--trace-dir", default=None, help="capture a jax.profiler device trace here")
     p.set_defaults(fn=cmd_dvo)
 
     p = sub.add_parser("photometric", help="legacy dense DVO (rgbdSubsc node)")
