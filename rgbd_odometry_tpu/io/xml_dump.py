@@ -135,7 +135,6 @@ def _read_opencv_xml_mats(path: str) -> dict:
 
         fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
         if fs.isOpened():
-            root = fs.getFirstTopLevelNode()
             # FileStorage has no node enumeration for XML in some builds;
             # probe the known names instead
             mats = {}

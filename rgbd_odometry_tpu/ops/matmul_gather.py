@@ -138,6 +138,55 @@ def gather_bilinear_value_grad_mm(
     return val_gu[0].astype(f32), val_gu[1].astype(f32), g_v.astype(f32)
 
 
+def gather_floor_value_cgrads_mm(
+    img: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    precision=_PREC_HI,
+):
+    """Floor-lookup of `img` AND its central-difference gradients at the same
+    integer pixel — (val, gx, gy), each (K,) — from TWO f32 one-hot matmuls.
+
+    Exactly equal to gathering the three channels [img, central_gx,
+    central_gy] (the reference's DT + precomputed filter2D gradients,
+    /root/reference/src/SolveDVO.cpp:1728,1077-1082) because the gradient at
+    the looked-up pixel is itself a +-0.5-weighted two-pixel combination of
+    `img` with REFLECT_101 borders:
+
+        gx[i, j] = 0.5 (img[i, refl(j+1)] - img[i, refl(j-1)])
+        gy[i, j] = 0.5 (img[refl(i+1), j] - img[refl(i-1), j])
+
+    so the channel gathers factor into row/column one-hot weights directly
+    (f32 one-hot matmuls are exact; 0.5x is an exponent shift). 2/3 the MXU
+    work of the 3-channel gather — used by the reference-parity sub-gradient
+    mode, whose 50x4-iteration schedule is gather-bound.
+    """
+    h, w_img = img.shape
+    dtype = img.dtype
+
+    def refl(idx, n):  # REFLECT_101: -1 -> 1, n -> n-2
+        return jnp.where(idx < 0, -idx, jnp.where(idx > n - 1, 2 * (n - 1) - idx, idx))
+
+    i0 = jnp.floor(jnp.clip(v, 0.0, h - 1.0)).astype(jnp.int32)
+    j0 = jnp.floor(jnp.clip(u, 0.0, w_img - 1.0)).astype(jnp.int32)
+    ip, im = refl(i0 + 1, h), refl(i0 - 1, h)
+    jp, jm = refl(j0 + 1, w_img), refl(j0 - 1, w_img)
+    k = u.shape[0]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (k, h), 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (k, w_img), 1)
+    oh = lambda idx, iota: (iota == idx[:, None]).astype(dtype)
+
+    # chain 1: row i0 -> {value at j0, gx via column difference}
+    rowa = jnp.einsum("kh,hw->kw", oh(i0, iota_r), img, precision=precision)
+    cw = jnp.stack([oh(j0, iota_c), 0.5 * (oh(jp, iota_c) - oh(jm, iota_c))])
+    val_gx = jnp.einsum("skw,kw->sk", cw, rowa, precision=precision)
+    # chain 2: row difference -> gy at column j0
+    d_row = 0.5 * (oh(ip, iota_r) - oh(im, iota_r))
+    rowb = jnp.einsum("kh,hw->kw", d_row, img, precision=precision)
+    gy = jnp.einsum("kw,kw->k", rowb, oh(j0, iota_c), precision=precision)
+    return val_gx[0], val_gx[1], gy
+
+
 def gather_floor_mm(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, precision=_PREC_HI):
     """Floor-lookup gather of a single (H, W) image -> (K,). Exact."""
     return gather_channels_mm(img[None], u, v, bilinear=False, precision=precision)[0]

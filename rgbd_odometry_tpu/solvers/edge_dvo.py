@@ -43,6 +43,7 @@ from rgbd_odometry_tpu.ops.linalg6 import chol_solve6
 from rgbd_odometry_tpu.ops.matmul_gather import (
     gather_bilinear_value_grad_mm,
     gather_channels_mm,
+    gather_floor_value_cgrads_mm,
 )
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -296,15 +297,16 @@ def _jacobian_residual(R, t, ref: RefLevel, now: NowLevel, intr: Intrinsics, cfg
             )
             eps_raw, g0_raw, g1_raw = sampled[0], sampled[1], sampled[2]
         else:
-            sampled = gather_channels_mm(
-                now.chans.astype(now.dt.dtype), u, v, bilinear=False, precision=_PREC
-            )
-            g0_raw, g1_raw = sampled[1], sampled[2]
+            # reference floor semantics: DT value + central-difference
+            # gradients at the same integer pixel, derived from the DT's own
+            # rows in 2 exact f32 one-hot matmuls (bit-equal to gathering
+            # the 3 precomputed channels at 2/3 the MXU work)
+            val, g0_raw, g1_raw = gather_floor_value_cgrads_mm(now.dt, u, v)
             if cfg.interpolate_dt:
                 dt2 = gather_channels_mm((now.dt * now.dt)[None], u, v, bilinear=True)[0]
                 eps_raw = jnp.sqrt(jnp.maximum(dt2, 0.0))
             else:
-                eps_raw = sampled[0]
+                eps_raw = val
     else:
         eps_raw = _sample_dt(now, u, v, cfg)
         if bilinear:

@@ -118,7 +118,6 @@ class LiveViz:
             from rgbd_odometry_tpu.solvers.photometric import warp_image
 
             gray, depth = self._last_frame
-            ref_gray = None
             # the stored ref features don't retain the image; warp the
             # previous frame's pyramid level 0 (the most recent keyframe
             # candidate) — the composite is a qualitative alignment check

@@ -73,6 +73,30 @@ def test_gradient_zero_at_clamped_borders():
     assert float(gv[1]) == 0.0
 
 
+def test_floor_cgrads_bitwise_equals_channel_gather():
+    """The derived floor-mode value+gradient gather must equal gathering the
+    three precomputed channels BITWISE (f32 one-hot matmuls are exact and
+    0.5x scaling commutes with rounding) — this is what lets the reference-
+    parity mode use it without any oracle drift."""
+    from rgbd_odometry_tpu.ops.gradient import central_gradient
+    from rgbd_odometry_tpu.ops.matmul_gather import (
+        gather_channels_mm,
+        gather_floor_value_cgrads_mm,
+    )
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (48, 64)).astype(np.float32))
+    gx, gy = central_gradient(img)
+    chans = jnp.stack([img, gx, gy])
+    u = jnp.asarray(rng.uniform(-2, 66, 500).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-2, 50, 500).astype(np.float32))
+    ref = gather_channels_mm(chans, u, v, bilinear=False)
+    val, gxs, gys = gather_floor_value_cgrads_mm(img, u, v)
+    np.testing.assert_array_equal(np.asarray(val), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(gxs), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(gys), np.asarray(ref[2]))
+
+
 def test_windowed_edt_exact_within_radius():
     """edt_l2_squared_windowed == exact EDT wherever true distance <= radius,
     and never underestimates elsewhere."""
