@@ -528,6 +528,58 @@ def cmd_fused(args):
     print(json.dumps(summary))
 
 
+def cmd_refine(args):
+    """Keyframe pose-graph refinement: jointly adjust a trajectory's poses
+    to satisfy odometry + loop-closure constraints (the capability the
+    reference's compose-only GOP lacks; BASELINE.json's 'keyframe-graph
+    refinement' workload). Constraints file lines:
+    `i j tx ty tz qx qy qz qw weight` (relative pose of j in i's frame)."""
+    import jax.numpy as jnp
+
+    from rgbd_odometry_tpu.core import geometry as geo
+    from rgbd_odometry_tpu.io.tum import read_trajectory, write_trajectory
+    from rgbd_odometry_tpu.solvers.pose_graph import (
+        PoseGraphEdges,
+        concat_edges,
+        odometry_edges,
+        refine_pose_graph,
+    )
+
+    R, t, ts = read_trajectory(args.est)
+    edges = odometry_edges(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+    n_lc = 0
+    if args.constraints:
+        rows = np.loadtxt(args.constraints, comments="#", ndmin=2)
+        i_idx = rows[:, 0].astype(np.int32)
+        j_idx = rows[:, 1].astype(np.int32)
+        t_rel = rows[:, 2:5].astype(np.float32)
+        R_rel = np.asarray(
+            geo.rotmat_from_quat(jnp.asarray(rows[:, 5:9], jnp.float32)), np.float32
+        )
+        w = rows[:, 9].astype(np.float32) if rows.shape[1] > 9 else np.ones(len(rows), np.float32)
+        lc = PoseGraphEdges(
+            i=jnp.asarray(i_idx), j=jnp.asarray(j_idx),
+            R_rel=jnp.asarray(R_rel), t_rel=jnp.asarray(t_rel), weight=jnp.asarray(w),
+        )
+        edges = concat_edges(edges, lc)
+        n_lc = len(rows)
+    R_f, t_f, norms = refine_pose_graph(
+        jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32), edges,
+        iterations=args.iterations,
+    )
+    write_trajectory(args.out, np.asarray(R_f, np.float64), np.asarray(t_f, np.float64), ts)
+    print(
+        json.dumps(
+            {
+                "nodes": len(t),
+                "loop_closures": n_lc,
+                "residual_norms": [round(float(x), 6) for x in np.asarray(norms)],
+                "out": args.out,
+            }
+        )
+    )
+
+
 def cmd_dump(args):
     """Write a source as reference-format XML pyramid dumps — the
     `__ENABLE_IM_WRITE__` writer (/root/reference/src/publisherPyD.cpp:
@@ -648,6 +700,13 @@ def main(argv=None):
     p.add_argument("--method", default="subgradient", choices=["subgradient", "gauss_newton"])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_probe)
+
+    p = sub.add_parser("refine", help="pose-graph refinement of a trajectory (+ loop closures)")
+    p.add_argument("est", help="TUM-format trajectory to refine")
+    p.add_argument("--constraints", default=None, help="file: i j tx ty tz qx qy qz qw [weight]")
+    p.add_argument("--out", required=True)
+    p.add_argument("--iterations", type=int, default=10)
+    p.set_defaults(fn=cmd_refine)
 
     p = sub.add_parser("fused", help="IMU prior + edge DVO + sparse-PnP fallback (BASELINE config 5)")
     _add_source_args(p)

@@ -76,20 +76,32 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Log map of SO(3): (..., 3, 3) -> (..., 3). Safe near theta=0 and pi."""
+    """Log map of SO(3): (..., 3, 3) -> (..., 3). Safe near theta=0 and pi.
+
+    Differentiable at the identity: the branch masks derive from cos(theta),
+    the arccos input is diverted to a safe value where the Taylor branch is
+    selected (arccos' derivative is -inf at 1, which would poison even the
+    selected branch's tangent through `theta`), and the Taylor branch itself
+    is expressed via 2(1 - cos theta) = theta^2 + O(theta^4) instead of
+    theta. jax.jacfwd through se3_log at a zero residual (pose-graph
+    optimization at convergence) depends on this.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # thresholds must be representable in float32 (1 - 1e-10 rounds to 1.0!)
+    small = cos_theta > 1.0 - 1e-6  # theta < ~1.4e-3 (Taylor err O(theta^4))
+    near_pi = cos_theta < -(1.0 - 5e-7)  # theta > ~pi - 1e-3
+    cos_inner = jnp.where(small, 0.0, cos_theta)  # safe arccos input
+    theta = jnp.arccos(cos_inner)
     # generic branch: w = theta/(2 sin theta) * vee(R - R^T)
     sin_theta = jnp.sin(theta)
     w_asym = vee(R - jnp.swapaxes(R, -1, -2))
     generic = 0.5 * theta[..., None] / jnp.where(
         jnp.abs(sin_theta) < _EPS, 1.0, sin_theta
     )[..., None] * w_asym
-    small = theta < 1e-5
-    taylor = 0.5 * (1.0 + theta[..., None] ** 2 / 6.0) * w_asym
+    tt = 2.0 * (1.0 - cos_theta)  # = theta^2 + O(theta^4), smooth in R
+    taylor = 0.5 * (1.0 + tt[..., None] / 6.0) * w_asym
     # near pi: w = theta * axis, axis from diagonal of (R + I)/2
-    near_pi = theta > jnp.pi - 1e-3
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis_sq = jnp.maximum((diag + 1.0) * 0.5 - cos_theta[..., None] * 0.5, 0.0) / jnp.maximum(
         1.0 - cos_theta[..., None] * 0.5 - 0.5, _EPS
