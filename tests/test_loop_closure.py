@@ -1,0 +1,79 @@
+"""Loop-closure detection + refinement (pipeline/loop_closure.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rgbd_odometry_tpu.config import CameraConfig
+from rgbd_odometry_tpu.core import geometry as geo
+from rgbd_odometry_tpu.core.camera import Intrinsics
+from rgbd_odometry_tpu.io.synthetic import render_sequence
+from rgbd_odometry_tpu.pipeline.loop_closure import LoopCloser, LoopClosureConfig
+
+CAM = CameraConfig(width=160, height=120, fx=176.0, fy=176.0, cx=79.5, cy=59.5)
+
+
+def _out_and_back(n=8, amp=0.04):
+    """Absolute pose twists going out and returning to the start."""
+    ts = np.arange(n)
+    phase = np.sin(np.pi * ts / (n - 1))  # 0 -> 1 -> 0
+    psis = np.stack(
+        [amp * phase, -0.5 * amp * phase, 0.3 * amp * phase,
+         0.2 * amp * phase, -0.2 * amp * phase, 0.1 * amp * phase], -1
+    ).astype(np.float32)
+    return psis
+
+
+def test_detects_closures_and_measures_accurate_relative_pose():
+    psis = _out_and_back()
+    frames, poses = render_sequence(CAM, psis, seed=0)
+    intr = Intrinsics.from_config(CAM)
+    lc = LoopCloser(intr, LoopClosureConfig(min_separation=4))
+    for i, (g, d) in enumerate(frames):
+        lc.add_keyframe(i, g, d)
+    assert len(lc.closures), "no loop closures found on an out-and-back path"
+    # every accepted closure's measured relative pose matches ground truth
+    for i, j, R_rel, t_rel, n_inl in lc.closures:
+        R_i, t_i = poses[i]
+        R_j, t_j = poses[j]
+        R_gt = R_i.T @ R_j
+        t_gt = R_i.T @ (t_j - t_i)
+        assert np.linalg.norm(t_rel - t_gt) < 0.02, (i, j)
+        assert np.linalg.norm(R_rel - R_gt) < 0.02, (i, j)
+        assert n_inl >= 20
+
+
+def test_refinement_pulls_drifted_trajectory_back():
+    psis = _out_and_back()
+    frames, poses = render_sequence(CAM, psis, seed=0)
+    R_gt = np.stack([p[0] for p in poses])
+    t_gt = np.stack([p[1] for p in poses])
+    # drifted odometry estimate: integrate noisy relatives
+    rng = np.random.default_rng(3)
+    Rs, ts = [R_gt[0]], [t_gt[0]]
+    for k in range(len(poses) - 1):
+        dR = R_gt[k].T @ R_gt[k + 1]
+        dt = R_gt[k].T @ (t_gt[k + 1] - t_gt[k])
+        noise = np.concatenate(
+            [rng.normal(0, 0.004, 3), rng.normal(0, 0.004, 3)]
+        ).astype(np.float32)
+        nR, nt = geo.se3_exp(jnp.asarray(noise))
+        dR = dR @ np.asarray(nR, np.float64)
+        dt = dt + np.asarray(nt, np.float64)
+        ts.append(ts[-1] + Rs[-1] @ dt)
+        Rs.append(Rs[-1] @ dR)
+    R_d, t_d = np.stack(Rs), np.stack(ts)
+
+    intr = Intrinsics.from_config(CAM)
+    lc = LoopCloser(intr, LoopClosureConfig(min_separation=4))
+    for i, (g, d) in enumerate(frames):
+        lc.add_keyframe(i, g, d)
+    assert len(lc.closures)
+    R_f, t_f, norms = lc.refine(R_d, t_d)
+    assert norms[-1] < norms[0]
+    err_before = np.linalg.norm(t_d - t_gt, axis=-1).mean()
+    err_after = np.linalg.norm(t_f - t_gt, axis=-1).mean()
+    assert err_after < err_before
+    # the revisit point is where closures act: strong improvement there
+    end_before = np.linalg.norm(t_d[-1] - t_gt[-1])
+    end_after = np.linalg.norm(t_f[-1] - t_gt[-1])
+    assert end_after < max(0.6 * end_before, 2e-3)
