@@ -139,6 +139,17 @@ def cmd_dvo(args):
 
         viz = LiveViz(args.viz_dir, every=args.viz_every)
         odo.keep_residuals = True
+    closer = None
+    if args.loop_close:
+        from rgbd_odometry_tpu.pipeline.loop_closure import LoopCloser
+
+        closer = LoopCloser(odo.intr)
+
+    def _maybe_register_keyframe(gray_np, depth_np):
+        m = odo.metrics[-1]
+        if closer is not None and m.keyframe_reason != 0:
+            closer.add_keyframe(m.frame_num, gray_np, depth_np)
+
     trace_cm = None
     if args.trace_dir:
         # deep-dive device trace (TensorBoard format) + stage stats — the
@@ -166,6 +177,8 @@ def cmd_dvo(args):
             odo.process_pyramid(pyr, ts)
             if viz is not None:
                 viz.on_frame(odo, np.asarray(pyr.gray[0]), np.asarray(pyr.depth[0]))
+            if closer is not None:
+                _maybe_register_keyframe(np.asarray(pyr.gray[0]), np.asarray(pyr.depth[0]))
             n += 1
             _after(odo.metrics[-1])
     else:
@@ -176,6 +189,8 @@ def cmd_dvo(args):
             odo.process_frame(gray, depth, ts)
             if viz is not None:
                 viz.on_frame(odo, gray, depth)
+            if closer is not None:
+                _maybe_register_keyframe(gray, depth)
             n += 1
             _after(odo.metrics[-1])
     if trace_cm is not None:
@@ -191,6 +206,14 @@ def cmd_dvo(args):
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
     print(f"avg solve: {odo.average_solve_ms():.2f} ms over {n} frames", file=sys.stderr)
     R, t, ts = odo.trajectory()
+    if closer is not None and len(t) > 1:
+        # drift-correcting refinement over the detected loop closures
+        R, t, norms = closer.refine(R, t)
+        print(
+            f"loop closures: {len(closer.closures)}; graph residual "
+            f"{norms[0]:.4f} -> {norms[-1]:.4f}",
+            file=sys.stderr,
+        )
     if viz is not None and n > 0:
         written = viz.finalize(odo, gt_t=gt[1][: len(t)] if gt is not None else None)
         print(f"viz: {len(written)} images -> {args.viz_dir}", file=sys.stderr)
@@ -659,6 +682,7 @@ def main(argv=None):
         help="async prefetch thread overlapping host decode with device solve",
     )
     p.add_argument("--trace-dir", default=None, help="capture a jax.profiler device trace here")
+    p.add_argument("--loop-close", action="store_true", help="detect loop closures between keyframes and refine the trajectory (pose-graph GN)")
     p.set_defaults(fn=cmd_dvo)
 
     p = sub.add_parser("photometric", help="legacy dense DVO (rgbdSubsc node)")

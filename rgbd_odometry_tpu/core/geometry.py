@@ -52,10 +52,21 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
-def _sinc_coeffs(theta2: jnp.ndarray):
-    """Taylor-safe (A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3)."""
+def _sinc_coeffs(theta2: jnp.ndarray, small_thresh: float = 1e-8):
+    """Taylor-safe (A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3).
+
+    The default 1e-8 threshold is the historical one the sub-gradient
+    parity tests are calibrated around (se3_exp tolerates the generic
+    branch's f32 rounding — B and C only scale the W/W^2 terms of V).
+    Callers that DIVIDE by B (se3_log's V^-1) must pass
+    ``small_thresh=1e-3``: in float32 cos(theta) rounds to exactly 1.0 for
+    theta < ~3.4e-4, making the generic B identically ZERO over
+    theta in (1e-4, 3.4e-4) — a division there is inf/NaN — and the
+    generic forms keep losing relative accuracy as eps_f32/theta^2 while
+    the 2-term Taylor's truncation error (~theta^4) stays negligible up to
+    theta ~ 0.18."""
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
-    small = theta2 < 1e-8
+    small = theta2 < small_thresh
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
@@ -163,14 +174,18 @@ def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1)
-    a, b, _ = _sinc_coeffs(theta2)
+    # f32-safe threshold: this path DIVIDES by B (see _sinc_coeffs)
+    a, b, _ = _sinc_coeffs(theta2, small_thresh=1e-3)
     W = hat(w)
     WW = _mm(W, W)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
     theta2_safe = jnp.maximum(theta2, _EPS * _EPS)
+    # float32 threshold (see _sinc_coeffs): the generic form's 1 - A/(2B)
+    # is a catastrophic cancellation below theta ~ 0.03, and B itself hits
+    # exact zero for theta in (1e-4, 3.4e-4)
     coef = jnp.where(
-        theta2 < 1e-8,
+        theta2 < 1e-3,
         1.0 / 12.0 + theta2 / 720.0,
         (1.0 - a / (2.0 * b)) / theta2_safe,
     )

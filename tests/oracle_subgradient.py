@@ -85,7 +85,7 @@ def se3_log(R, t):
     a, b, _ = _sinc_coeffs(theta2)
     W = _hat(w)
     WW = W @ W
-    if theta2 < 1e-8:
+    if theta2 < 1e-3:  # mirrors core.geometry.se3_log's float32 threshold
         coef = 1.0 / 12.0 + theta2 / 720.0
     else:
         coef = (1.0 - a / (2.0 * b)) / theta2

@@ -42,6 +42,26 @@ def test_detects_closures_and_measures_accurate_relative_pose():
         assert n_inl >= 20
 
 
+def test_cli_dvo_loop_close(tmp_path, capsys):
+    """End-to-end plumbing: dvo --loop-close detects closures between the
+    periodic keyframes and the refined trajectory stays accurate."""
+    import json
+
+    from rgbd_odometry_tpu.cli import main
+
+    est = str(tmp_path / "est.txt")
+    main(
+        [
+            "dvo", "--frames", "12", "--iterations", "10,5,3,2",
+            "--keyframe-every", "3", "--loop-close", "--out", est,
+        ]
+    )
+    out = capsys.readouterr()
+    assert "loop closures:" in out.err
+    stats = json.loads(out.out.strip().splitlines()[-1])
+    assert stats["ate_rmse"] < 0.02
+
+
 def test_refinement_pulls_drifted_trajectory_back():
     psis = _out_and_back()
     frames, poses = render_sequence(CAM, psis, seed=0)
