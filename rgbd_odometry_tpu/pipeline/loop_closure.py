@@ -43,6 +43,10 @@ class LoopClosureConfig:
     ransac_hypotheses: int = 64
     epipolar_threshold_px: float = 3.0
     edge_weight: float = 3.0  # closures weigh more than single odometry steps
+    # fixed keyframe-slot capacity: every new keyframe matches against ALL
+    # stored ones in ONE vmapped MXU pass (static shape -> one compile, one
+    # dispatch — a per-pair host loop costs a dispatch RTT per old keyframe)
+    max_keyframes: int = 64
 
 
 @dataclass
@@ -62,9 +66,15 @@ class LoopCloser:
         self._key = jax.random.PRNGKey(seed)
         self.keyframes: List[KeyframeRecord] = []
         self.closures: List[Tuple[int, int, np.ndarray, np.ndarray, int]] = []
+        # fixed-capacity stacked keyframe store (device-resident): slot s
+        # holds keyframe s's Keypoints; unused slots are all-invalid and
+        # fall out of the batched matching naturally
+        self._slots: Optional[object] = None  # feat.Keypoints with (S, ...) leaves
         self._detect = jax.jit(
             lambda g: feat.detect_and_describe(g, self.cfg.max_keypoints)
         )
+        # ONE dispatch matches the new keyframe against every stored slot
+        self._match_all = jax.jit(jax.vmap(feat.match, in_axes=(0, None)))
         self._match = jax.jit(feat.match)
         self._epi = jax.jit(
             lambda k, uv1, uv2, v: ransac_fundamental_filter(
@@ -78,6 +88,17 @@ class LoopCloser:
             )
 
         self._pnp = jax.jit(_solve)
+
+    def _empty_slots(self, kps_like):
+        s = self.cfg.max_keyframes
+        return jax.tree_util.tree_map(
+            lambda x: jnp.zeros((s,) + x.shape, x.dtype), kps_like
+        )
+
+    def _store_slot(self, idx: int, kps):
+        self._slots = jax.tree_util.tree_map(
+            lambda buf, x: buf.at[idx].set(x), self._slots, kps
+        )
 
     # ------------------------------------------------------------------
     def _backproject(self, kps, depth_mm: jnp.ndarray):
@@ -101,12 +122,22 @@ class LoopCloser:
         rec = KeyframeRecord(node=node, kps=kps, pts3d=pts3d, pts_valid=pvalid)
 
         found = []
-        for old in self.keyframes:
-            if abs(node - old.node) < self.cfg.min_separation:
-                continue
-            m = self._match(old.kps, kps)  # matches: for each NEW kp, old idx
-            if int(m.num_good) < self.cfg.min_matches:
-                continue
+        if self.keyframes:
+            # one batched dispatch against every stored slot; unused slots
+            # are all-invalid -> zero good matches
+            all_m = self._match_all(self._slots, kps)
+            goods = np.asarray(all_m.num_good)
+        # beyond-capacity keyframes are matched AGAINST but not stored (the
+        # graph keeps working; only closures ONTO them are lost)
+        candidates = [
+            s
+            for s, old in enumerate(self.keyframes[: self.cfg.max_keyframes])
+            if abs(node - old.node) >= self.cfg.min_separation
+            and int(goods[s]) >= self.cfg.min_matches
+        ]
+        for s in candidates:
+            old = self.keyframes[s]
+            m = jax.tree_util.tree_map(lambda x: x[s], all_m)
             uv_old = jnp.take(old.kps.uv, m.ref_idx, axis=0)
             valid = m.good & kps.valid & jnp.take(old.kps.valid, m.ref_idx, axis=0)
             self._key, ek = jax.random.split(self._key)
@@ -133,6 +164,10 @@ class LoopCloser:
                 )
             )
             found.append(old.node)
+        if self._slots is None:
+            self._slots = self._empty_slots(kps)
+        if len(self.keyframes) < self.cfg.max_keyframes:
+            self._store_slot(len(self.keyframes), kps)
         self.keyframes.append(rec)
         return found
 
