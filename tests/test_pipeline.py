@@ -79,8 +79,9 @@ def test_streaming_odometry_tracks_gt():
     motion = np.linalg.norm(gt_t[-1])
     # single-pair pose ambiguity along the scene's weak directions (see
     # test_edge_dvo.py docstring) accumulates into the trajectory; the bound
-    # reflects that, not solver sloppiness (reprojection stays sub-pixel)
-    assert err < max(0.35 * motion, 0.008), f"ATE {err:.4f} vs motion {motion:.4f}"
+    # reflects that, not solver sloppiness (reprojection stays sub-pixel).
+    # Measured 6.2 mm on this scene (r2); 8 mm leaves ~30% margin.
+    assert err < 0.008, f"ATE {err:.4f} vs motion {motion:.4f}"
     # drift stats are finite and sane
     ds = drift_stats(t_est, gt_t)
     assert np.isfinite(ds.mean) and np.isfinite(ds.rms)
@@ -208,7 +209,8 @@ def test_fused_pipeline_imu_prior_and_fallback():
     R_est, t_est, _ = fused.trajectory()
     gt_t = np.stack([p[1] for p in poses])
     err = np.linalg.norm(t_est - gt_t, axis=-1)
-    assert err[-1] < max(0.6 * np.linalg.norm(gt_t[-1]), 0.008), err
+    # measured 5.5 mm final error on this scene (r2); 8 mm ~ 45% margin
+    assert err[-1] < 0.008, err
     assert len(fused.fallback_frames) == 0  # clean sequence: no fallback
 
 
@@ -281,7 +283,10 @@ def test_long_sequence_endurance():
     assert np.isfinite(t_est).all()
     err = np.linalg.norm(t_est - gt_t, axis=-1)
     # bounded drift over 20 frames and several keyframe promotions
-    assert err[-1] < max(0.5 * np.linalg.norm(gt_t[-1]), 0.03), err
+    # (measured 16.4 mm final / ~11 mm mean on this scene, r2; bounds carry
+    # ~50% margin rather than the old 0.5x-of-path-length allowance)
+    assert err[-1] < 0.025, err
+    assert err.mean() < 0.017, err
     assert len(odo.gop.keyframe_indices()) >= 4
 
 
