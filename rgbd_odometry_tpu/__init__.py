@@ -27,6 +27,35 @@ from rgbd_odometry_tpu.config import (
 
 __version__ = "0.1.0"
 
+# main user-facing API, loaded lazily (PEP 562) so `import rgbd_odometry_tpu`
+# stays light — jax/XLA initialization only happens when first touched
+_LAZY = {
+    "align_pair": ("rgbd_odometry_tpu.solvers.edge_dvo", "align_pair"),
+    "EdgeDvoOdometry": ("rgbd_odometry_tpu.pipeline.odometry", "EdgeDvoOdometry"),
+    "FusedOdometry": ("rgbd_odometry_tpu.pipeline.fused", "FusedOdometry"),
+    "FeatureVo": ("rgbd_odometry_tpu.pipeline.feature_vo", "FeatureVo"),
+    "LoopCloser": ("rgbd_odometry_tpu.pipeline.loop_closure", "LoopCloser"),
+    "refine_pose_graph": ("rgbd_odometry_tpu.solvers.pose_graph", "refine_pose_graph"),
+    "Intrinsics": ("rgbd_odometry_tpu.core.camera", "Intrinsics"),
+    "FrameFeeder": ("rgbd_odometry_tpu.pipeline.feeder", "FrameFeeder"),
+    "TumSource": ("rgbd_odometry_tpu.io.stream", "TumSource"),
+    "SyntheticCamera": ("rgbd_odometry_tpu.io.stream", "SyntheticCamera"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'rgbd_odometry_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
+
+
 __all__ = [
     "CameraConfig",
     "SolverConfig",
@@ -34,4 +63,5 @@ __all__ = [
     "KeyframeConfig",
     "PipelineConfig",
     "__version__",
+    *sorted(_LAZY),
 ]
