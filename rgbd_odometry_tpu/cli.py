@@ -168,7 +168,20 @@ def cmd_dvo(args):
             file=sys.stderr,
         )
 
-    if args.feeder and not args.dry:
+    if args.pipelined and not args.dry:
+        # latency-hiding pipelined streaming: frame n+1's step dispatches
+        # chained off frame n's in-flight device outputs; bit-identical to
+        # the sequential loop (speculation discarded on keyframe switches)
+        if args.viz_dir or args.loop_close:
+            sys.exit("--pipelined is incompatible with --viz-dir/--loop-close "
+                     "(they need per-frame host access to the images)")
+        from rgbd_odometry_tpu.pipeline.feeder import FrameFeeder
+
+        feeder = FrameFeeder(frames, num_levels=odo.cfg.pyramid.num_levels)
+        for _pose in odo.process_stream(feeder):
+            n += 1
+            _after(odo.metrics[-1])
+    elif args.feeder and not args.dry:
         # async prefetch: host decode + device_put of frame n+1 overlaps the
         # device solve of frame n (the ROS pub/sub decoupling, SURVEY §2.6)
         from rgbd_odometry_tpu.pipeline.feeder import FrameFeeder
@@ -683,6 +696,7 @@ def main(argv=None):
     )
     p.add_argument("--trace-dir", default=None, help="capture a jax.profiler device trace here")
     p.add_argument("--loop-close", action="store_true", help="detect loop closures between keyframes and refine the trajectory (pose-graph GN)")
+    p.add_argument("--pipelined", action="store_true", help="speculative streaming: next frame dispatches off in-flight device outputs (bit-identical trajectory; helps when dispatch is asynchronous — see BASELINE.md)")
     p.set_defaults(fn=cmd_dvo)
 
     p = sub.add_parser("photometric", help="legacy dense DVO (rgbdSubsc node)")

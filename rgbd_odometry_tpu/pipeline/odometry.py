@@ -168,16 +168,7 @@ class EdgeDvoOdometry:
             self._warm_dev = None  # host-side compose -> re-upload once
 
         if self._frame_num == 0:
-            # bootstrap: first frame becomes the reference keyframe
-            # (:1950-2027)
-            self._set_ref(pyr)
-            self._last_ref_frame = 0
-            self.gop.push_keyframe(0, REASON_FIRST_FRAME, np.eye(3), np.zeros(3), timestamp)
-            self.metrics.append(
-                FrameMetrics(0, 0.0, 0.0, -1, 1.0, 0.0, int(self._ref_feats[0].count), REASON_FIRST_FRAME)
-            )
-            self._prev_pyr = pyr
-            return self.gop.global_pose(0)
+            return self._bootstrap(pyr, timestamp)
 
         t_start = time.perf_counter()
         if self._warm_dev is None:
@@ -191,6 +182,26 @@ class EdgeDvoOdometry:
             self._warm_dev[0],
             self._warm_dev[1],
         )
+        return self._resolve(
+            pyr, timestamp, self._frame_num, R_d, t_d, finest_d, targets, t_start
+        )
+
+    def _bootstrap(self, pyr: FramePyramid, timestamp: float):
+        """First frame becomes the reference keyframe (:1950-2027)."""
+        self._set_ref(pyr)
+        self._last_ref_frame = 0
+        self.gop.push_keyframe(0, REASON_FIRST_FRAME, np.eye(3), np.zeros(3), timestamp)
+        self.metrics.append(
+            FrameMetrics(0, 0.0, 0.0, -1, 1.0, 0.0, int(self._ref_feats[0].count), REASON_FIRST_FRAME)
+        )
+        self._prev_pyr = pyr
+        return self.gop.global_pose(0)
+
+    def _resolve(
+        self, pyr, timestamp, frame_num, R_d, t_d, finest_d, targets, t_start
+    ):
+        """Host-side bookkeeping for one dispatched step: pull results, decide
+        keyframes, maybe rollback-resolve, log trajectory + metrics."""
         # ONE device->host transfer for everything the control flow reads:
         # over a tunneled device each separate scalar pull costs a full RTT
         # (~30 ms here), which would cap the streaming loop at a few Hz
@@ -212,20 +223,20 @@ class EdgeDvoOdometry:
                 reason = REASON_LOW_VISIBILITY
             if n_reproj < kf_cfg.min_reprojected_pts:
                 reason = REASON_TOO_FEW_REPROJECTIONS
-        if (self._frame_num - self._last_ref_frame) == kf_cfg.force_every:
+        if (frame_num - self._last_ref_frame) == kf_cfg.force_every:
             reason = REASON_PERIODIC
 
         rolled_back = False
         if (
             reason != 0
             and kf_cfg.rollback_resolve
-            and self._last_ref_frame != (self._frame_num - 1)
+            and self._last_ref_frame != (frame_num - 1)
             and self._prev_pyr is not None
         ):
             # __NEW__REF_UPDATE (:2194-2233): the current estimate is
             # distrusted; promote frame n-1 to the reference keyframe, reset
             # the relative pose, and re-run the full pyramid solve.
-            self._last_ref_frame = self._frame_num - 1
+            self._last_ref_frame = frame_num - 1
             self._set_ref(self._prev_pyr)
             self.gop.update_most_recent_to_keyframe(reason)
             R_d, t_d, diags = self._solve(
@@ -242,12 +253,12 @@ class EdgeDvoOdometry:
         elif reason != 0 and not kf_cfg.rollback_resolve:
             # __OLD__REF_UPDATE naive variant (:2166-2191): current frame
             # becomes the keyframe with the (possibly bad) estimate kept.
-            self.gop.push_keyframe(self._frame_num, reason, np.asarray(R), np.asarray(t), timestamp)
-            self._last_ref_frame = self._frame_num
+            self.gop.push_keyframe(frame_num, reason, np.asarray(R), np.asarray(t), timestamp)
+            self._last_ref_frame = frame_num
             self._set_ref(pyr)
             self._R = np.eye(3)
             self._t = np.zeros(3)
-            self._record(solve_ms, finest, b_cap, vis, reason, False)
+            self._record(frame_num, solve_ms, finest, b_cap, vis, reason, False)
             self._prev_pyr = pyr
             return self.gop.global_pose(-1)
 
@@ -265,10 +276,89 @@ class EdgeDvoOdometry:
             self._warm_dev = (R_d, t_d)
         else:
             self._warm_dev = None
-        self.gop.push_ordinary(self._frame_num, self._R, self._t, timestamp)
-        self._record(solve_ms, finest, b_cap, vis, reason, rolled_back, diverged)
+        self.gop.push_ordinary(frame_num, self._R, self._t, timestamp)
+        self._record(frame_num, solve_ms, finest, b_cap, vis, reason, rolled_back, diverged)
         self._prev_pyr = pyr
         return self.gop.global_pose(-1)
+
+    # ------------------------------------------------------------------
+    def process_stream(self, pyramids):
+        """Latency-hiding pipelined streaming over (pyramid, timestamp) items.
+
+        Sequential streaming pays (dispatch RTT + device compute + readback
+        RTT) per frame because each step's warm start is the previous frame's
+        RESOLVED pose. Here frame n+1's step dispatches with frame n's
+        still-in-flight device outputs as the warm start (pure device
+        chaining, no host sync), and frame n's bookkeeping resolves while
+        n+1 computes — one readback latency per frame is hidden.
+
+        Bit-identical to the sequential loop: the speculation is only valid
+        while the resolved state keeps the chain intact (no keyframe switch,
+        rollback, or divergence). When resolution breaks the chain, the
+        speculative dispatch is DISCARDED and re-issued from the corrected
+        state, exactly reproducing sequential behaviour
+        (tests/test_pipeline.py pins trajectory + metrics equality).
+
+        Measured caveat (BASELINE.md): this container's tunneled device makes
+        DISPATCH ITSELF a synchronous RTT, so there is nothing left to hide
+        and speculation's keyframe re-dispatches make it slightly slower
+        (12.7 vs 17.6 Hz). The mode targets runtimes with asynchronous
+        dispatch, where the readback->dispatch serialization it removes is
+        the streaming bottleneck.
+
+        Yields the global pose (R, t) per frame, in order.
+        """
+        pend = None  # (pyr, ts, fnum, R_d, t_d, finest_d, targets, t0, warm0)
+
+        def _dispatch(pyr, warm):
+            return self._step(self._ref_feats, pyr.gray, warm[0], warm[1])
+
+        for pyr, ts in pyramids:
+            self._frame_num += 1
+            fnum = self._frame_num
+            if fnum == 0:
+                yield self._bootstrap(pyr, ts)
+                continue
+            if pend is None:
+                # warm start from resolved state (first steady-state frame
+                # or just after a chain break)
+                if self._warm_dev is None:
+                    self._warm_dev = (
+                        jnp.asarray(self._R, jnp.float32),
+                        jnp.asarray(self._t, jnp.float32),
+                    )
+                warm = self._warm_dev
+                t0 = time.perf_counter()
+                handles = _dispatch(pyr, warm)
+                pend = (pyr, ts, fnum, *handles, t0, warm[0])
+                continue
+            # speculative dispatch for THIS frame chained off the pending
+            # frame's un-resolved device outputs
+            spec_warm = (pend[3], pend[4])
+            t0 = time.perf_counter()
+            handles = _dispatch(pyr, spec_warm)
+            # resolve the pending frame (overlaps the speculative compute)
+            p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0, _ = pend
+            pose = self._resolve(p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0)
+            chain_intact = (
+                self._warm_dev is not None and self._warm_dev[0] is p_R
+            )
+            if not chain_intact:
+                # keyframe switch / rollback / divergence: the speculation
+                # used a stale ref or warm start — re-issue from truth
+                if self._warm_dev is None:
+                    self._warm_dev = (
+                        jnp.asarray(self._R, jnp.float32),
+                        jnp.asarray(self._t, jnp.float32),
+                    )
+                t0 = time.perf_counter()
+                handles = _dispatch(pyr, self._warm_dev)
+                spec_warm = self._warm_dev
+            pend = (pyr, ts, fnum, *handles, t0, spec_warm[0])
+            yield pose
+        if pend is not None:
+            p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0, _ = pend
+            yield self._resolve(p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0)
 
     # ------------------------------------------------------------------
     def _set_ref(self, pyr: FramePyramid):
@@ -280,10 +370,10 @@ class EdgeDvoOdometry:
         # identity is built on-device (no host transfer)
         self._warm_dev = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
 
-    def _record(self, solve_ms, finest, b_cap, vis, reason, rolled_back, diverged=False):
+    def _record(self, frame_num, solve_ms, finest, b_cap, vis, reason, rolled_back, diverged=False):
         self.metrics.append(
             FrameMetrics(
-                frame_num=self._frame_num,
+                frame_num=frame_num,
                 solve_ms=solve_ms,
                 best_energy=float(finest.best_energy),
                 best_iter=int(finest.best_iter),

@@ -290,6 +290,45 @@ def test_long_sequence_endurance():
     assert len(odo.gop.keyframe_indices()) >= 4
 
 
+def test_pipelined_stream_matches_sequential_exactly():
+    """process_stream (speculative dispatch chained off in-flight device
+    outputs, discarded on chain breaks) must produce the IDENTICAL
+    trajectory and metrics to the sequential loop — including across the
+    periodic keyframe switches + rollback re-solves it speculates through."""
+    import jax.numpy as jnp
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+
+    psis = _trajectory(n=12)
+    frames, _ = render_sequence(CAM, psis, seed=0)
+    cfg = _config()
+
+    odo_seq = EdgeDvoOdometry(cfg)
+    for i, (g, d) in enumerate(frames):
+        odo_seq.process_frame(g, d, float(i))
+
+    odo_pipe = EdgeDvoOdometry(cfg)
+    pyrs = (
+        (build_pyramid(jnp.asarray(g), jnp.asarray(d), cfg.pyramid.num_levels), float(i))
+        for i, (g, d) in enumerate(frames)
+    )
+    poses = list(odo_pipe.process_stream(pyrs))
+    assert len(poses) == len(frames)
+
+    R1, t1, _ = odo_seq.trajectory()
+    R2, t2, _ = odo_pipe.trajectory()
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(R1, R2)
+    # keyframe structure identical (speculation through switches discarded)
+    assert odo_seq.gop.keyframe_indices() == odo_pipe.gop.keyframe_indices()
+    assert [m.keyframe_reason for m in odo_seq.metrics] == [
+        m.keyframe_reason for m in odo_pipe.metrics
+    ]
+    assert [m.rolled_back for m in odo_seq.metrics] == [
+        m.rolled_back for m in odo_pipe.metrics
+    ]
+    assert [m.frame_num for m in odo_pipe.metrics] == list(range(len(frames)))
+
+
 def test_old_ref_update_variant():
     """rollback_resolve=False reproduces __OLD__REF_UPDATE
     (/root/reference/src/SolveDVO.cpp:2166-2191): the CURRENT frame becomes
