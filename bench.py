@@ -55,6 +55,9 @@ def main() -> None:
         lm_jacobian_stride=8,
         edt_window=32,
         normalize_dt=False,
+        # deferred-accept LM: the next iteration's gather doubles as the
+        # accept verdict (identical recovery on the accuracy suite)
+        lm_deferred_accept=True,
     )
     intr = Intrinsics.from_config(cam)
 

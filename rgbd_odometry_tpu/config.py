@@ -156,6 +156,13 @@ class SolverConfig:
     # solves at equal pose accuracy (tools/profile_variants.py, TPU v5e:
     # 24.7 -> 9.1 ms for 18 level-0 iterations at batch 64, t_err stable).
     lm_jacobian_stride: int = 4
+    # deferred-accept LM: instead of a separate residual pass per proposal,
+    # the NEXT iteration's own Jacobian pass doubles as the accept check —
+    # on reject the pose reverts and the step recomputes from the carried
+    # previous (J, eps) with raised lambda (no extra gather). Every
+    # iteration costs exactly one gather pass (2 row-matmul units) instead
+    # of jac (2) + accept (1). Lambda adaptation runs one iteration late.
+    lm_deferred_accept: bool = False
     # image sampling backend: "mxu" = separable one-hot matmul gathers (TPU
     # point-gathers serialize per element; the MXU formulation is ~100x
     # faster), "take" = jnp.take_along_axis (exact reference semantics,

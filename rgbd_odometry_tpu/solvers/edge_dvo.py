@@ -447,6 +447,10 @@ def run_level(
     else:
         stride = 1
         ref_sub = ref
+    if lm_mode and cfg.lm_deferred_accept and not collect_trajectory:
+        return _run_level_lm_deferred(
+            ref, ref_jac, now, intr_level, R0, t0, cfg, n_iters, jstride
+        )
     k = ref_jac.pts3d.shape[0]
     precond = jnp.asarray(
         [1.0, 1.0, 1.0, cfg.precondition_rot, cfg.precondition_rot, cfg.precondition_rot],
@@ -582,6 +586,154 @@ def run_level(
         )
     if collect_trajectory:
         return best_R, final.best_t, diag, (traj_R, traj_t)
+    return best_R, final.best_t, diag
+
+
+def _run_level_lm_deferred(
+    ref: RefLevel,
+    ref_jac: RefLevel,
+    now: NowLevel,
+    intr_level: Intrinsics,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    cfg: SolverConfig,
+    n_iters: int,
+    jstride: int,
+):
+    """Deferred-accept Levenberg-Marquardt level solve.
+
+    The classic LM accept/reject evaluates each proposal with an extra
+    residual pass; here the NEXT iteration's Jacobian pass (whose residuals
+    we need anyway) doubles as the verdict. On reject, the pose reverts and
+    the step recomputes from the CARRIED previous (J, eps) with raised
+    lambda — the carry costs (K_sub, 7) floats, the saved gather a full
+    one-hot matmul pass. Net: every iteration performs exactly one
+    gather pass (~2/3 the solver's gather work at stride 8, measured).
+
+    Lambda adaptation runs one iteration late relative to textbook LM; the
+    best-iterate return (over EVALUATED poses, like the reference's
+    :696-705) keeps rejected proposals out of the result.
+    """
+    dtype = R0.dtype
+    k = ref_jac.pts3d.shape[0]
+
+    class _S(NamedTuple):
+        R: jnp.ndarray
+        t: jnp.ndarray
+        Rb: jnp.ndarray  # backup pose (last ACCEPTED iterate)
+        tb: jnp.ndarray
+        Jb: jnp.ndarray  # (K, 6) Jacobian at the backup pose
+        epsb: jnp.ndarray  # (K,) residuals at the backup pose
+        eb: jnp.ndarray  # () energy at the backup pose
+        wgtb: jnp.ndarray  # (K,) robust weights at the backup pose
+        pending: jnp.ndarray  # () bool — current pose is an unverified proposal
+        lam: jnp.ndarray
+        done: jnp.ndarray
+        best_energy: jnp.ndarray
+        best_R: jnp.ndarray
+        best_t: jnp.ndarray
+        best_iter: jnp.ndarray
+
+    def body(state: _S, itr):
+        J, eps, wgt, visible, energy, vis_ratio = _jacobian_residual(
+            state.R, state.t, ref_jac, now, intr_level, cfg
+        )
+        # verdict on the pending proposal (first iteration: nothing pending)
+        accept = (~state.pending) | (energy < state.eb)
+        lam = jnp.where(state.done, state.lam, jnp.where(
+            state.pending,
+            jnp.where(accept, jnp.maximum(state.lam / 3.0, 1e-8),
+                      jnp.minimum(state.lam * 4.0, 1e6)),
+            state.lam,
+        ))
+        # working iterate: current pose if accepted, backup otherwise
+        R_cur = jnp.where(accept, state.R, state.Rb)
+        t_cur = jnp.where(accept, state.t, state.tb)
+        J_use = jnp.where(accept, J, state.Jb)
+        eps_use = jnp.where(accept, eps, state.epsb)
+        wgt_use = jnp.where(accept, wgt, state.wgtb)
+        e_use = jnp.where(accept, energy, state.eb)
+
+        # best-iterate over EVALUATED poses (<= so later ties win)
+        is_better = (energy <= state.best_energy) & (~state.done)
+        best_energy = jnp.where(is_better, energy, state.best_energy)
+        best_R = jnp.where(is_better, state.R, state.best_R)
+        best_t = jnp.where(is_better, state.t, state.best_t)
+        best_iter = jnp.where(is_better, itr, state.best_iter)
+
+        Jw = J_use * wgt_use[..., None]
+        H = jnp.einsum("ni,nj->ij", Jw, J_use, precision=_PREC)
+        g = jnp.einsum("nj,n->j", Jw, eps_use, precision=_PREC)
+        diag = jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-8))
+        psi = -chol_solve6(H + lam * diag, g)
+        norm = jnp.linalg.norm(psi)
+        scale = jnp.where(
+            norm > cfg.lm_trust_region, cfg.lm_trust_region / jnp.maximum(norm, 1e-30), 1.0
+        )
+        psi = psi * scale
+        newly_done = accept & state.pending & (jnp.linalg.norm(psi) < cfg.psi_norm_termination)
+        do_update = (~state.done) & (~newly_done)
+
+        xR, xt = geo.se3_exp(psi)
+        R_prop = jnp.matmul(R_cur, xR, precision=_PREC)
+        if cfg.rotationize:
+            R_prop = geo.rotationize(R_prop, cfg.rotationize_method)
+        t_prop = t_cur + jnp.einsum("ij,j->i", R_cur, xt, precision=_PREC)
+
+        next_state = _S(
+            R=jnp.where(do_update, R_prop, R_cur),
+            t=jnp.where(do_update, t_prop, t_cur),
+            Rb=jnp.where(do_update, R_cur, state.Rb),
+            tb=jnp.where(do_update, t_cur, state.tb),
+            Jb=jnp.where(do_update, J_use, state.Jb),
+            epsb=jnp.where(do_update, eps_use, state.epsb),
+            eb=jnp.where(do_update, e_use, state.eb),
+            wgtb=jnp.where(do_update, wgt_use, state.wgtb),
+            pending=jnp.where(state.done | newly_done, False, do_update),
+            lam=lam,
+            done=state.done | newly_done,
+            best_energy=best_energy,
+            best_R=best_R,
+            best_t=best_t,
+            best_iter=best_iter,
+        )
+        return next_state, jnp.where(state.done, 0.0, energy)
+
+    init = _S(
+        R=R0,
+        t=t0,
+        Rb=R0,
+        tb=t0,
+        Jb=jnp.zeros((k, 6), dtype),
+        epsb=jnp.zeros((k,), dtype),
+        eb=jnp.asarray(jnp.inf, dtype),
+        wgtb=jnp.zeros((k,), dtype),
+        pending=jnp.asarray(False),
+        lam=jnp.asarray(cfg.lm_damping, dtype),
+        done=jnp.asarray(False),
+        best_energy=jnp.asarray(1.0e10, dtype),
+        best_R=R0,
+        best_t=t0,
+        best_iter=jnp.asarray(-1, jnp.int32),
+    )
+    final, energies = jax.lax.scan(body, init, jnp.arange(n_iters, dtype=jnp.int32))
+    best_R = final.best_R
+    if cfg.rotationize:
+        best_R = geo.rotationize(best_R, cfg.rotationize_method)
+    # full-resolution diagnostics at the returned pose (same contract as the
+    # jstride path of run_level)
+    eps_f, _, visible_f, energy_f, vis_f, *_ = _project_and_sample(
+        best_R, final.best_t, ref, now, intr_level, cfg
+    )
+    diag = LevelDiagnostics(
+        energy=energies,
+        best_energy=energy_f,
+        best_iter=final.best_iter,
+        visible_ratio=vis_f,
+        final_epsilons=eps_f,
+        final_valid=visible_f,
+        num_points=ref.count,
+    )
     return best_R, final.best_t, diag
 
 

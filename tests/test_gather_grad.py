@@ -142,6 +142,46 @@ def test_gauss_newton_windowed_profile_accuracy():
     assert float(jnp.linalg.norm(R - R_gt)) < 0.02
 
 
+def test_deferred_accept_lm_matches_standard_and_survives_rejects():
+    """Deferred-accept LM: identical pose recovery to standard LM on clean
+    scenes (all-accept regime is step-for-step the same math), and still
+    converges when proposals get rejected (tiny initial damping + huge
+    trust region force early overshoots)."""
+    import dataclasses
+
+    cam = CameraConfig(width=160, height=120, fx=176.0, fy=176.0, cx=79.5, cy=59.5)
+    intr = Intrinsics.from_config(cam)
+    psi = np.array([0.012, -0.008, 0.006, 0.004, -0.005, 0.003], np.float32)
+    (rg, rd), (ng, nd), _ = render_pair(cam, psi, seed=0)
+    ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), 2)
+    now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), 2)
+    R_gt, t_gt = geo.se3_exp(jnp.asarray(psi))
+
+    base = SolverConfig(method="gauss_newton", iterations=(15, 6), lm_jacobian_stride=8)
+    outs = {}
+    for deferred in (False, True):
+        cfg = dataclasses.replace(base, lm_deferred_accept=deferred)
+        feats = edge_dvo.extract_ref_features(ref.gray, ref.depth, intr, cfg, (4096, 1024))
+        tgts = edge_dvo.prepare_now_targets(now.gray, cfg)
+        R, t, diags = edge_dvo.solve_pyramid(feats, tgts, intr, cfg)
+        outs[deferred] = (np.asarray(R), np.asarray(t))
+        assert float(jnp.linalg.norm(t - t_gt)) < 0.02
+        # full-resolution diagnostics contract holds in both modes
+        assert diags[0].final_epsilons.shape[0] == 4096
+    np.testing.assert_allclose(outs[True][1], outs[False][1], atol=2e-5)
+
+    # reject-heavy regime: near-zero damping + wide trust region overshoots,
+    # the deferred verdict must revert and recover
+    wild = dataclasses.replace(
+        base, lm_deferred_accept=True, lm_damping=1e-9, lm_trust_region=0.5
+    )
+    feats = edge_dvo.extract_ref_features(ref.gray, ref.depth, intr, wild, (4096, 1024))
+    tgts = edge_dvo.prepare_now_targets(now.gray, wild)
+    R, t, _ = edge_dvo.solve_pyramid(feats, tgts, intr, wild)
+    assert np.isfinite(np.asarray(t)).all()
+    assert float(jnp.linalg.norm(t - t_gt)) < 0.05
+
+
 @pytest.mark.parametrize("jstride", [1, 4])
 def test_gauss_newton_recovers_pose_with_jacobian_stride(jstride):
     """The strided normal equations must not change what the solver finds:
