@@ -170,7 +170,9 @@ def _extras(jax, jnp, edge_dvo, intr, featsets, sets, cfg, ref_s, batch):
     n_stream = 30
     for i in range(n_stream):
         out = f_step1(feats1, nows1[i % 3])
-    jax.block_until_ready(out)
+        # block every iteration: ONE pair in flight is the point of this
+        # metric (async dispatch would otherwise pipeline all 30 solves)
+        jax.block_until_ready(out)
     streaming_hz = n_stream / (time.perf_counter() - t0)
 
     return {

@@ -103,25 +103,24 @@ def cmd_dvo(args):
     from rgbd_odometry_tpu.pipeline.odometry import EdgeDvoOdometry
 
     if args.resume:
+        import itertools
+
         from rgbd_odometry_tpu.utils.checkpoint import load_odometry
 
         odo = load_odometry(args.resume)
         # already-processed frames must not be re-fed against the restored
-        # keyframe: default the source offset to the first unprocessed frame
+        # keyframe. The checkpoint counts PROCESSED frames, so the offset is
+        # applied after the source's own --start/--skip transforms: re-run
+        # with the SAME source flags as the original run plus --resume, and
+        # the stream continues at the first unprocessed frame.
         resume_next = odo._frame_num + 1
-        if args.start is None:
-            args.start = resume_next
-        elif args.start != resume_next:
-            sys.exit(
-                f"--start {args.start} conflicts with checkpoint (next frame "
-                f"is {resume_next}); omit --start or pass {resume_next}"
-            )
+        frames, cam, gt = _make_source(args)
+        frames = itertools.islice(frames, resume_next, None)
         print(
             f"resumed at frame {odo._frame_num} from {args.resume}; "
-            f"source continues at {args.start}",
+            f"skipping {resume_next} already-processed frames of the source",
             file=sys.stderr,
         )
-        frames, cam, gt = _make_source(args)
     else:
         frames, cam, gt = _make_source(args)
         cfg = PipelineConfig(

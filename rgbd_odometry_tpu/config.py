@@ -189,6 +189,15 @@ class SolverConfig:
     # Gauss-Newton). "auto" picks by method.
     jacobian_mode: str = "auto"
 
+    def __post_init__(self):
+        if self.edt_window > 0 and self.normalize_dt:
+            raise ValueError(
+                "edt_window > 0 requires normalize_dt=False: the windowed "
+                "transform's max overestimates far-from-edge distances, so "
+                "min-max normalization would silently mis-scale the "
+                "pixel-unit robust weights (gn_weight_sigma2_px)"
+            )
+
 
 @dataclass(frozen=True)
 class PhotometricConfig:

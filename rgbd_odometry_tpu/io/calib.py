@@ -33,12 +33,16 @@ def read_calib_xml(path: str, width: int | None = None, height: int | None = Non
     """
     K, dist, size = _read_matrices(path)
     fx, fy, cx, cy = float(K[0, 0]), float(K[1, 1]), float(K[0, 2]), float(K[1, 2])
-    if width is None and size is not None:
-        width, height = size
-    if width is None:
+    # fill each missing dimension independently (an explicit width must not
+    # suppress the file's own size nodes for the height)
+    if size is not None:
+        width = width if width is not None else size[0]
+        height = height if height is not None else size[1]
+    if width is None or height is None:
         m = re.search(r"(\d+)x(\d+)", os.path.basename(path))
         if m:
-            width, height = int(m.group(1)), int(m.group(2))
+            width = width if width is not None else int(m.group(1))
+            height = height if height is not None else int(m.group(2))
     if width is None or height is None:
         raise ValueError(
             f"{path}: no imageWidth/imageHeight nodes and no WxH in the "

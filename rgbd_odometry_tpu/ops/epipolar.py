@@ -107,6 +107,15 @@ def ransac_fundamental_filter(
     """
     k = uv1.shape[0]
     dtype = uv1.dtype
+    if k < 8:
+        # fewer match SLOTS than a minimal sample: statically pass through
+        # (top_k(k=8) would fail at trace time; the runtime min_points guard
+        # below covers the few-VALID-matches case)
+        return EpipolarFilterResult(
+            inliers=valid,
+            num_inliers=jnp.sum(valid.astype(jnp.int32)),
+            F=jnp.zeros((3, 3), dtype),
+        )
     uv1n, T1 = _hartley_normalize(uv1, valid)
     uv2n, T2 = _hartley_normalize(uv2, valid)
     keys = jax.random.split(key, num_hypotheses)

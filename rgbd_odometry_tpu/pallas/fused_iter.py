@@ -142,9 +142,16 @@ def fused_gn_terms(
     k_block: int = 512,
     interpret: bool = False,
 ):
-    """Returns (H (6,6), g (6,), energy (), n_visible ()) for one proposal."""
+    """Returns (H (6,6), g (6,), energy (), n_visible ()) for one proposal.
+
+    `k_block` is clamped to a divisor of K: a non-dividing block would make
+    the last grid step read out-of-bounds rows whose contents are undefined
+    on real TPUs (phantom "valid" points would poison the accumulators).
+    """
     k = pts3d.shape[0]
     k_block = min(k_block, k)
+    while k % k_block:
+        k_block -= 1
     pose = jnp.zeros((8, 128), jnp.float32)
     pose = pose.at[0:3, 0:3].set(R.astype(jnp.float32))
     pose = pose.at[0:3, 3].set(t.astype(jnp.float32))

@@ -43,6 +43,7 @@ class LoopClosureConfig:
     ransac_hypotheses: int = 64
     epipolar_threshold_px: float = 3.0
     edge_weight: float = 3.0  # closures weigh more than single odometry steps
+    min_depth_mm: float = 100.0  # usable-keypoint depth gate (matches FeatureVo)
     # fixed keyframe-slot capacity: every new keyframe matches against ALL
     # stored ones in ONE vmapped MXU pass (static shape -> one compile, one
     # dispatch — a per-pair host loop costs a dispatch RTT per old keyframe)
@@ -106,7 +107,7 @@ class LoopCloser:
         ui = jnp.clip(kps.uv[:, 0].astype(jnp.int32), 0, w - 1)
         vi = jnp.clip(kps.uv[:, 1].astype(jnp.int32), 0, h - 1)
         z_mm = jnp.take(depth_mm.reshape(-1), vi * w + ui)
-        valid = kps.valid & (z_mm > 100.0)
+        valid = kps.valid & (z_mm > self.cfg.min_depth_mm)
         z = z_mm / 1000.0
         x = z * (kps.uv[:, 0] - self.intr.cx) / self.intr.fx
         y = z * (kps.uv[:, 1] - self.intr.cy) / self.intr.fy

@@ -638,13 +638,15 @@ def _run_level_lm_deferred(
         J, eps, wgt, visible, energy, vis_ratio = _jacobian_residual(
             state.R, state.t, ref_jac, now, intr_level, cfg
         )
-        # verdict on the pending proposal (first iteration: nothing pending)
+        # verdict on the pending proposal (first iteration: nothing pending).
+        # Exact energy ties (quantized coarse-level plateaus) revert the pose
+        # but leave lambda UNCHANGED — raising it would shrink psi toward 0
+        # without ever terminating (same tie rule as the standard LM path)
         accept = (~state.pending) | (energy < state.eb)
+        worse = state.pending & (energy > state.eb)
         lam = jnp.where(state.done, state.lam, jnp.where(
-            state.pending,
-            jnp.where(accept, jnp.maximum(state.lam / 3.0, 1e-8),
-                      jnp.minimum(state.lam * 4.0, 1e6)),
-            state.lam,
+            state.pending & accept, jnp.maximum(state.lam / 3.0, 1e-8),
+            jnp.where(worse, jnp.minimum(state.lam * 4.0, 1e6), state.lam),
         ))
         # working iterate: current pose if accepted, backup otherwise
         R_cur = jnp.where(accept, state.R, state.Rb)

@@ -356,11 +356,31 @@ def test_cli_resume_skips_processed_frames(tmp_path, capsys):
         ]
     )
     out = capsys.readouterr()
-    assert "source continues at 4" in out.err
+    assert "skipping 4 already-processed frames" in out.err
     traj = np.loadtxt(est, comments="#")
     # 4 checkpointed + 4 new frames, no duplicates
     assert traj.shape[0] == 8
     assert len(np.unique(traj[:, 0])) == 8
-    # an inconsistent explicit --start is rejected
-    with pytest.raises(SystemExit):
-        main(["dvo", "--frames", "8", "--resume", ck, "--start", "2"])
+
+
+def test_cli_resume_composes_with_skip(tmp_path, capsys):
+    """The resume offset counts PROCESSED frames, so it composes with the
+    source's own --skip transform: re-running with identical source flags
+    plus --resume continues exactly where the first run stopped."""
+    from rgbd_odometry_tpu.cli import main
+
+    ck = str(tmp_path / "state.npz")
+    # first run: every 2nd frame of 8 -> processes raw frames 0,2,4,6
+    main(["dvo", "--frames", "8", "--skip", "2", "--iterations", "8,4,2,2",
+          "--checkpoint", ck])
+    capsys.readouterr()
+    est = str(tmp_path / "est.txt")
+    # same source flags over a longer stream + resume: raw 8,10,12,14 only
+    main(["dvo", "--frames", "16", "--skip", "2", "--iterations", "8,4,2,2",
+          "--resume", ck, "--out", est])
+    out = capsys.readouterr()
+    assert "skipping 4 already-processed frames" in out.err
+    traj = np.loadtxt(est, comments="#")
+    assert traj.shape[0] == 8  # 4 old + 4 new, no raw frame re-fed
+    # timestamps are raw-frame-index/30 -> all distinct, strictly increasing
+    assert (np.diff(traj[:, 0]) > 0).all()
