@@ -45,6 +45,7 @@ def main():
             lm_jacobian_stride=8,
             edt_window=32,
             normalize_dt=False,
+            lm_deferred_accept=True,  # matches bench.py's production profile
         ),
         "reference_parity_subgradient": SolverConfig(method="subgradient"),
     }
