@@ -32,6 +32,33 @@ def test_cli_calib_roundtrip(tmp_path, capsys):
     assert cam["width"] == 320
 
 
+def test_cli_probe(capsys):
+    """casualTestFunction parity: the two-frame energy-curve probe."""
+    main(["probe", "--level", "1", "--iterations", "20"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["level"] == 1
+    assert len(out["energy"]) == 20
+    e = [x for x in out["energy"] if x > 0]
+    assert e and e[-1] <= e[0]  # the schedule reduces energy on this scene
+    assert 0.0 < out["visible_ratio"] <= 1.0
+
+
+def test_cli_photometric(tmp_path, capsys):
+    est = str(tmp_path / "photo.txt")
+    main(["photometric", "--frames", "4", "--out", est])
+    err = capsys.readouterr().err
+    assert err.count("frame") >= 3  # per-frame |eps| lines
+    assert np.loadtxt(est, comments="#").shape[0] == 4
+
+
+def test_cli_feature_vo(tmp_path, capsys):
+    est = str(tmp_path / "fv.txt")
+    main(["feature-vo", "--frames", "4", "--min-matches", "8", "--out", est])
+    err = capsys.readouterr().err
+    assert "good matches" in err
+    assert np.loadtxt(est, comments="#").shape[0] == 4
+
+
 def test_cli_dvo_dry(capsys):
     main(["dvo", "--frames", "4", "--dry"])
     err = capsys.readouterr().err
