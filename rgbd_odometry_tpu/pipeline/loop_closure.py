@@ -40,14 +40,23 @@ class LoopClosureConfig:
     min_matches: int = 30  # descriptor matches to consider a candidate
     min_inliers: int = 20  # PnP inliers to accept the closure
     min_separation: int = 3  # skip temporally-adjacent keyframes
+    # geometric verification (epipolar + RANSAC-PnP, one host-driven dispatch
+    # pair per candidate) runs only for the top-N candidates by descriptor
+    # match count; the rest are counted in `skipped_candidates` (not silent).
+    # Slow-moving dense keyframe streams otherwise verify every overlapping
+    # frame — O(T^2) dispatches over a trajectory
+    max_candidates_per_keyframe: int = 4
     ransac_hypotheses: int = 64
     epipolar_threshold_px: float = 3.0
     edge_weight: float = 3.0  # closures weigh more than single odometry steps
     min_depth_mm: float = 100.0  # usable-keypoint depth gate (matches FeatureVo)
-    # fixed keyframe-slot capacity: every new keyframe matches against ALL
-    # stored ones in ONE vmapped MXU pass (static shape -> one compile, one
-    # dispatch — a per-pair host loop costs a dispatch RTT per old keyframe)
-    max_keyframes: int = 64
+    # initial keyframe-slot capacity: every new keyframe matches against ALL
+    # stored ones in ONE vmapped MXU pass (static shape -> one dispatch; a
+    # per-pair host loop costs a dispatch RTT per old keyframe). When the
+    # store fills, the slot buffer DOUBLES — one extra compile of the batched
+    # matcher per doubling, and every keyframe stays matchable forever (no
+    # silent closure loss past a fixed cap)
+    slot_capacity: int = 64
 
 
 @dataclass
@@ -67,6 +76,7 @@ class LoopCloser:
         self._key = jax.random.PRNGKey(seed)
         self.keyframes: List[KeyframeRecord] = []
         self.closures: List[Tuple[int, int, np.ndarray, np.ndarray, int]] = []
+        self.skipped_candidates: int = 0  # dropped by max_candidates_per_keyframe
         # fixed-capacity stacked keyframe store (device-resident): slot s
         # holds keyframe s's Keypoints; unused slots are all-invalid and
         # fall out of the batched matching naturally
@@ -91,12 +101,22 @@ class LoopCloser:
         self._pnp = jax.jit(_solve)
 
     def _empty_slots(self, kps_like):
-        s = self.cfg.max_keyframes
+        s = self.cfg.slot_capacity
         return jax.tree_util.tree_map(
             lambda x: jnp.zeros((s,) + x.shape, x.dtype), kps_like
         )
 
+    def _num_slots(self) -> int:
+        return jax.tree_util.tree_leaves(self._slots)[0].shape[0]
+
     def _store_slot(self, idx: int, kps):
+        if idx == self._num_slots():
+            # full: double the buffer (new slots all-invalid). One recompile
+            # of the batched matcher per doubling; log2(total/initial) ever.
+            self._slots = jax.tree_util.tree_map(
+                lambda buf: jnp.concatenate([buf, jnp.zeros_like(buf)], axis=0),
+                self._slots,
+            )
         self._slots = jax.tree_util.tree_map(
             lambda buf, x: buf.at[idx].set(x), self._slots, kps
         )
@@ -128,14 +148,20 @@ class LoopCloser:
             # are all-invalid -> zero good matches
             all_m = self._match_all(self._slots, kps)
             goods = np.asarray(all_m.num_good)
-        # beyond-capacity keyframes are matched AGAINST but not stored (the
-        # graph keeps working; only closures ONTO them are lost)
+        # every stored keyframe is a candidate — the slot store grows, so
+        # closures onto late keyframes are never silently lost
         candidates = [
             s
-            for s, old in enumerate(self.keyframes[: self.cfg.max_keyframes])
+            for s, old in enumerate(self.keyframes)
             if abs(node - old.node) >= self.cfg.min_separation
             and int(goods[s]) >= self.cfg.min_matches
         ]
+        if len(candidates) > self.cfg.max_candidates_per_keyframe:
+            candidates.sort(key=lambda s: -int(goods[s]))
+            self.skipped_candidates += (
+                len(candidates) - self.cfg.max_candidates_per_keyframe
+            )
+            candidates = candidates[: self.cfg.max_candidates_per_keyframe]
         for s in candidates:
             old = self.keyframes[s]
             m = jax.tree_util.tree_map(lambda x: x[s], all_m)
@@ -167,8 +193,7 @@ class LoopCloser:
             found.append(old.node)
         if self._slots is None:
             self._slots = self._empty_slots(kps)
-        if len(self.keyframes) < self.cfg.max_keyframes:
-            self._store_slot(len(self.keyframes), kps)
+        self._store_slot(len(self.keyframes), kps)
         self.keyframes.append(rec)
         return found
 

@@ -62,6 +62,44 @@ def test_cli_dvo_loop_close(tmp_path, capsys):
     assert stats["ate_rmse"] < 0.02
 
 
+def test_slot_store_grows_past_initial_capacity():
+    """128 keyframes on an out-back-out path: the slot store doubles at the
+    64-keyframe boundary and closures are still detected ONTO keyframes
+    stored after the old fixed cap (which round 2 silently dropped).
+
+    The third leg revisits the second leg's positions, so loop closures must
+    target keyframes with indices >= 64; their measured relative poses are
+    checked against exact ground truth."""
+    n, amp = 128, 0.05
+    ts = np.arange(n)
+    phase = np.abs(np.sin(1.5 * np.pi * ts / (n - 1)))  # 0 -> 1 -> 0 -> 1
+    psis = np.stack(
+        [amp * phase, -0.5 * amp * phase, 0.3 * amp * phase,
+         0.2 * amp * phase, -0.2 * amp * phase, 0.1 * amp * phase], -1
+    ).astype(np.float32)
+    frames, poses = render_sequence(CAM, psis, seed=0)
+    intr = Intrinsics.from_config(CAM)
+    lc = LoopCloser(
+        intr,
+        LoopClosureConfig(min_separation=20, max_candidates_per_keyframe=2),
+    )
+    for i, (g, d) in enumerate(frames):
+        lc.add_keyframe(i, g, d)
+    assert lc._num_slots() >= 128  # the store actually grew (64 -> 128)
+    assert lc.skipped_candidates > 0  # the verification bound engaged (counted)
+    late_targets = [c for c in lc.closures if c[0] >= 64]
+    assert late_targets, "no closures onto keyframes beyond the old 64 cap"
+    early_targets = [c for c in lc.closures if c[0] < 64]
+    assert early_targets
+    for i, j, R_rel, t_rel, n_inl in late_targets:
+        R_i, t_i = poses[i]
+        R_j, t_j = poses[j]
+        R_gt = R_i.T @ R_j
+        t_gt = R_i.T @ (t_j - t_i)
+        assert np.linalg.norm(t_rel - t_gt) < 0.02, (i, j)
+        assert np.linalg.norm(R_rel - R_gt) < 0.02, (i, j)
+
+
 def test_refinement_pulls_drifted_trajectory_back():
     psis = _out_and_back()
     frames, poses = render_sequence(CAM, psis, seed=0)

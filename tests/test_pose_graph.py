@@ -131,6 +131,68 @@ def test_cli_refine_roundtrip(tmp_path, capsys):
     assert end_after < 0.5 * end_before
 
 
+def test_cg_solver_matches_dense():
+    """The matrix-free PCG path solves the same normal equations as the dense
+    factorization: identical refinement on a loop-closed noisy chain."""
+    R_gt, t_gt = _circle_trajectory(16)
+    R_d, t_d, odo_e = _noisy_chain(R_gt, t_gt, sigma_rot=0.02, sigma_t=0.02)
+    dR = R_gt[-1].T @ R_gt[0]
+    dt = R_gt[-1].T @ (t_gt[0] - t_gt[-1])
+    lc = PoseGraphEdges(
+        i=jnp.asarray([15], jnp.int32),
+        j=jnp.asarray([0], jnp.int32),
+        R_rel=jnp.asarray(dR, jnp.float32)[None],
+        t_rel=jnp.asarray(dt, jnp.float32)[None],
+        weight=jnp.asarray([5.0], jnp.float32),
+    )
+    edges = concat_edges(odo_e, lc)
+    args = (jnp.asarray(R_d, jnp.float32), jnp.asarray(t_d, jnp.float32), edges)
+    R_a, t_a, norms_a = refine_pose_graph(*args, iterations=8, solver="dense")
+    R_b, t_b, norms_b = refine_pose_graph(*args, iterations=8, solver="cg")
+    np.testing.assert_allclose(np.asarray(norms_b), np.asarray(norms_a), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_a), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(R_b), np.asarray(R_a), atol=2e-4)
+
+
+def test_cg_500_node_graph():
+    """The scale the dense path cannot touch: a 500-node drifted chain with
+    loop closures refines via the sparse-block PCG path (O(E) Jacobian work,
+    matrix-free solve) — the 'hundreds of nodes' the module docstring
+    promises, now exercised."""
+    n = 500
+    R_gt, t_gt = _circle_trajectory(n)
+    R_d, t_d, odo_e = _noisy_chain(R_gt, t_gt, sigma_rot=0.004, sigma_t=0.004)
+    drift_before = np.linalg.norm(t_d[-1] - t_gt[-1])
+    assert drift_before > 0.05
+    # closures: end->start and the two half-loop meeting points
+    lcs = [(n - 1, 0), (n // 2, 0), (3 * n // 4, n // 4)]
+    li, lj, lR, lt = [], [], [], []
+    for a, b in lcs:
+        li.append(a)
+        lj.append(b)
+        lR.append(R_gt[a].T @ R_gt[b])
+        lt.append(R_gt[a].T @ (t_gt[b] - t_gt[a]))
+    lc = PoseGraphEdges(
+        i=jnp.asarray(li, jnp.int32),
+        j=jnp.asarray(lj, jnp.int32),
+        R_rel=jnp.asarray(np.stack(lR), jnp.float32),
+        t_rel=jnp.asarray(np.stack(lt), jnp.float32),
+        weight=jnp.full((len(lcs),), 5.0, jnp.float32),
+    )
+    edges = concat_edges(odo_e, lc)
+    R_f, t_f, norms = refine_pose_graph(
+        jnp.asarray(R_d, jnp.float32), jnp.asarray(t_d, jnp.float32), edges,
+        iterations=6,  # solver="auto" -> cg at this size
+    )
+    assert float(norms[-1]) < 0.7 * float(norms[0])
+    err_before = np.linalg.norm(t_d - t_gt, axis=-1).mean()
+    err_after = np.linalg.norm(np.asarray(t_f, np.float64) - t_gt, axis=-1).mean()
+    assert err_after < 0.5 * err_before
+    end_after = np.linalg.norm(np.asarray(t_f, np.float64)[-1] - t_gt[-1])
+    assert end_after < 0.35 * drift_before
+    np.testing.assert_allclose(np.asarray(t_f)[0], t_d[0], atol=1e-5)
+
+
 def test_jit_and_vmap_over_graphs():
     """The refinement is one jittable function; a batch of graphs vmaps."""
     R_gt, t_gt = _circle_trajectory(8)
