@@ -125,6 +125,13 @@ class SolverConfig:
     # Canny thresholds/aperture (cv::Canny(150,100,3,L2), src/SolveDVO.cpp:1705)
     canny_high: float = 150.0
     canny_low: float = 100.0
+    # run ONE stacked NMS + hysteresis fixpoint for all pyramid levels
+    # (ops/canny.canny_multi — bit-identical to per-level Canny). Measured
+    # SLOWER on v5e at batch 64 (targets 8.09 vs 7.30 ms, extract 12.91 vs
+    # 12.21): the coarse levels' fixpoints converge early and cheap, while
+    # the stack pays level-0's ~40 passes over a width-padded buffer with
+    # 42% more pixels. Kept as the documented A/B; default off.
+    fuse_level_canny: bool = False
     # min depth (mm) for a usable edge point (src/SolveDVO.cpp:1251)
     min_depth_mm: float = 100.0
     # optimizer family: "subgradient" (reference parity) or "gauss_newton"

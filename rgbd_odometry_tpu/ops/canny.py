@@ -163,6 +163,74 @@ def hysteresis(
     return _unpack_rows(edges_p, h)
 
 
+def _grad_mag(img: jnp.ndarray, low: float, high: float, l2gradient: bool):
+    """Shared front half of canny: 8-bit emulation, Sobel, magnitude."""
+    img = jnp.round(img)  # emulate convertTo(CV_8U) saturation/rounding
+    img = jnp.clip(img, 0.0, 255.0)
+    gx, gy = sobel3(img, border="replicate")
+    # gx/gy are exact small integers in float32 (|.| <= 1020); the magnitudes
+    # stay < 2^24, so float arithmetic reproduces OpenCV's int math exactly
+    if l2gradient:
+        mag = gx * gx + gy * gy
+        low_t, high_t = float(low) * float(low), float(high) * float(high)
+    else:
+        mag = jnp.abs(gx) + jnp.abs(gy)
+        low_t, high_t = float(low), float(high)
+    return mag, gx, gy, low_t, high_t
+
+
+def canny_multi(
+    imgs,
+    low: float = 100.0,
+    high: float = 150.0,
+    l2gradient: bool = True,
+    hysteresis_max_iters: int | None = None,
+):
+    """Canny over a tuple of images of different shapes (a pyramid) with ONE
+    NMS pass and ONE hysteresis fixpoint — bit-identical to per-image
+    `canny`, returned as a tuple of per-image edge maps.
+
+    Why: per-level `canny` costs 4 independent `while_loop`s of ~40 tiny
+    dilation passes each — pure sequential-latency, the dominant cost of the
+    coarse levels. Stacking the levels into one row-concatenated image (each
+    padded to the widest W, with one zero guard row between levels) runs the
+    fixpoint once over everything. Exactness: NMS and hysteresis both treat
+    out-of-image pixels as zero (OpenCV semantics, `_nms` zero-pad), and the
+    guard rows ARE zero — magnitude 0 can never survive `c > low`, and
+    hysteresis propagation dies in a guard row because `weak` is False there
+    (8-connectivity cannot jump the row). Sobel's replicate border stays
+    per-image, computed before stacking.
+    """
+    if low > high:
+        low, high = high, low
+    mags, gxs, gys, shapes = [], [], [], []
+    low_t = high_t = 0.0
+    for img in imgs:
+        mag, gx, gy, low_t, high_t = _grad_mag(img, low, high, l2gradient)
+        shapes.append(img.shape[-2:])
+        mags.append(mag)
+        gxs.append(gx)
+        gys.append(gy)
+    w_max = max(s[1] for s in shapes)
+
+    def stack(parts):
+        padded = []
+        for p, (h, w) in zip(parts, shapes):
+            pad = [(0, 0)] * (p.ndim - 2) + [(0, 1), (0, w_max - w)]  # +guard row
+            padded.append(jnp.pad(p, pad))
+        return jnp.concatenate(padded, axis=-2)
+
+    mag_s, gx_s, gy_s = stack(mags), stack(gxs), stack(gys)
+    weak = _nms(mag_s, gx_s, gy_s, low_t)
+    strong = weak & (mag_s > high_t)
+    edges_s = hysteresis(strong, weak, hysteresis_max_iters)
+    out, row = [], 0
+    for h, w in shapes:
+        out.append(edges_s[..., row : row + h, :w])
+        row += h + 1
+    return tuple(out)
+
+
 def canny(
     img: jnp.ndarray,
     low: float = 100.0,
@@ -177,18 +245,7 @@ def canny(
     """
     if low > high:
         low, high = high, low
-    img = jnp.round(img)  # emulate convertTo(CV_8U) saturation/rounding
-    img = jnp.clip(img, 0.0, 255.0)
-    gx, gy = sobel3(img, border="replicate")
-    # gx/gy are exact small integers in float32 (|.| <= 1020); the magnitudes
-    # stay < 2^24, so float arithmetic reproduces OpenCV's int math exactly
-    if l2gradient:
-        mag = gx * gx + gy * gy
-        low_t, high_t = float(low) * float(low), float(high) * float(high)
-    else:
-        mag = jnp.abs(gx) + jnp.abs(gy)
-        low_t, high_t = float(low), float(high)
-
+    mag, gx, gy, low_t, high_t = _grad_mag(img, low, high, l2gradient)
     weak = _nms(mag, gx, gy, low_t)
     strong = weak & (mag > high_t)
     return hysteresis(strong, weak, hysteresis_max_iters)

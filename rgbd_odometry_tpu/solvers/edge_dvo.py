@@ -35,7 +35,7 @@ import numpy as np
 from rgbd_odometry_tpu.config import SolverConfig
 from rgbd_odometry_tpu.core import geometry as geo
 from rgbd_odometry_tpu.core.camera import Intrinsics
-from rgbd_odometry_tpu.ops.canny import canny
+from rgbd_odometry_tpu.ops.canny import canny, canny_multi
 from rgbd_odometry_tpu.ops.distance_transform import distance_transform_of_edges
 from rgbd_odometry_tpu.ops.gradient import central_gradient
 from rgbd_odometry_tpu.ops.interp import gather_bilinear, gather_floor, gather_sqrt_bilinear
@@ -103,6 +103,7 @@ def extract_ref_level(
     intr_level: Intrinsics,
     k_max: int,
     cfg: SolverConfig,
+    edges: jnp.ndarray | None = None,
 ) -> RefLevel:
     """Edge-point selection + back-projection at one level.
 
@@ -110,8 +111,10 @@ def extract_ref_level(
     /root/reference/src/SolveDVO.cpp:1705), predicate edge ∧ depth>100mm
     (`selectedPts` :1251), back-projection with level-scaled intrinsics
     (`enlistRefEdgePts` :224-265). Ragged lists become top-K with a mask.
+    ``edges`` lets the caller pass a precomputed (level-fused) edge map.
     """
-    edges = canny(gray, cfg.canny_low, cfg.canny_high)
+    if edges is None:
+        edges = canny(gray, cfg.canny_low, cfg.canny_high)
     mask = edges & (depth_mm > cfg.min_depth_mm)
     h, w = mask.shape
     flat = mask.reshape(-1)
@@ -151,14 +154,18 @@ def extract_ref_level(
     return RefLevel(pts3d=pts3d, uv=uv, valid=valid, count=count)
 
 
-def prepare_now_level(gray: jnp.ndarray, cfg: SolverConfig) -> NowLevel:
+def prepare_now_level(
+    gray: jnp.ndarray, cfg: SolverConfig, edges: jnp.ndarray | None = None
+) -> NowLevel:
     """Edge map -> (inverted) distance transform -> gradients at one level.
 
     Reference: `computeDistTransfrmOfNow` (/root/reference/src/SolveDVO.cpp:
     1740-1799): Canny, DT of the inverted edge map, optional 0-255 min-max
-    normalization, central-difference gradients of the DT.
+    normalization, central-difference gradients of the DT. ``edges`` lets
+    the caller pass a precomputed (level-fused) edge map.
     """
-    edges = canny(gray, cfg.canny_low, cfg.canny_high)
+    if edges is None:
+        edges = canny(gray, cfg.canny_low, cfg.canny_high)
     if cfg.edt_window > 0:
         from rgbd_odometry_tpu.ops.distance_transform import edt_l2_squared_windowed
 
@@ -828,17 +835,29 @@ def extract_ref_features(
     max_points: Tuple[int, ...],
 ) -> Tuple[RefLevel, ...]:
     """`preProcessRefFrame` over all levels (/root/reference/src/SolveDVO.cpp:269)."""
+    edge_pyr = _pyramid_edges(gray_pyr, cfg)
     return tuple(
-        extract_ref_level(g, d, intr.at_level(lvl), max_points[lvl], cfg)
-        for lvl, (g, d) in enumerate(zip(gray_pyr, depth_pyr))
+        extract_ref_level(g, d, intr.at_level(lvl), max_points[lvl], cfg, edges=e)
+        for lvl, (g, d, e) in enumerate(zip(gray_pyr, depth_pyr, edge_pyr))
     )
+
+
+def _pyramid_edges(gray_pyr: Tuple[jnp.ndarray, ...], cfg: SolverConfig):
+    """Per-level Canny edge maps — fused into one NMS + one hysteresis
+    fixpoint across levels when cfg.fuse_level_canny (bit-identical)."""
+    if cfg.fuse_level_canny and len(gray_pyr) > 1:
+        return canny_multi(gray_pyr, cfg.canny_low, cfg.canny_high)
+    return tuple(canny(g, cfg.canny_low, cfg.canny_high) for g in gray_pyr)
 
 
 def prepare_now_targets(
     gray_pyr: Tuple[jnp.ndarray, ...], cfg: SolverConfig
 ) -> Tuple[NowLevel, ...]:
     """`computeDistTransfrmOfNow` over all levels (/root/reference/src/SolveDVO.cpp:1740)."""
-    return tuple(prepare_now_level(g, cfg) for g in gray_pyr)
+    edge_pyr = _pyramid_edges(gray_pyr, cfg)
+    return tuple(
+        prepare_now_level(g, cfg, edges=e) for g, e in zip(gray_pyr, edge_pyr)
+    )
 
 
 def align_pair(

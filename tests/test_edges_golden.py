@@ -72,6 +72,33 @@ def test_canny_natural_image():
     assert mismatch < 5e-3, f"canny mismatch fraction {mismatch}"
 
 
+def test_canny_multi_bit_identical_to_per_level():
+    """The level-fused Canny (one stacked NMS + one hysteresis fixpoint for
+    the whole pyramid, ops/canny.canny_multi) must equal per-level canny()
+    bit for bit — the guard rows reproduce each level's zero border."""
+    from rgbd_odometry_tpu.ops.canny import canny_multi
+
+    rng = np.random.default_rng(5)
+    img = _synthetic_scene(rng)
+    pyr = [jnp.asarray(img[:: 2**l, :: 2**l], jnp.float32) for l in range(4)]
+    fused = canny_multi(tuple(pyr), 100.0, 150.0)
+    for l, g in enumerate(pyr):
+        single = canny(g, 100.0, 150.0)
+        np.testing.assert_array_equal(
+            np.asarray(fused[l]), np.asarray(single), err_msg=f"level {l}"
+        )
+    # and under vmap (the batched bench/production path)
+    batch = tuple(jnp.stack([g, g + 0.0, jnp.flip(g, -1)]) for g in pyr)
+    import jax
+
+    fused_b = jax.vmap(lambda *gs: canny_multi(gs, 100.0, 150.0))(*batch)
+    for l in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(fused_b[l][2]),
+            np.asarray(canny(jnp.flip(pyr[l], -1), 100.0, 150.0)),
+        )
+
+
 def test_edt_matches_opencv(rng):
     mask = np.zeros((60, 80), np.uint8)
     pts = rng.integers(0, [60, 80], size=(25, 2))
