@@ -1,0 +1,129 @@
+"""N-stream lockstep odometry over a device mesh (parallel/streams.py).
+
+The driver advances N independent camera streams with one sharded dispatch
+per frame. Correctness bar: trajectories must match N independent
+single-device `EdgeDvoOdometry` runs under the same (synchronized PERIODIC
+keyframe) policy — identical structure (keyframe schedule, frame count) and
+poses within the f32 reduction-tiling envelope quantified in the test below.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rgbd_odometry_tpu.config import (
+    CameraConfig,
+    KeyframeConfig,
+    PipelineConfig,
+    PyramidConfig,
+    SolverConfig,
+)
+from rgbd_odometry_tpu.io.synthetic import render_sequence
+from rgbd_odometry_tpu.parallel.mesh import make_mesh
+from rgbd_odometry_tpu.parallel.streams import MultiStreamOdometry
+from rgbd_odometry_tpu.pipeline.odometry import EdgeDvoOdometry
+
+CAM = CameraConfig(width=160, height=120, fx=176.0, fy=176.0, cx=79.5, cy=59.5)
+
+
+def _config():
+    return PipelineConfig(
+        camera=CAM,
+        pyramid=PyramidConfig(num_levels=2, max_points=(768, 384)),
+        solver=SolverConfig(method="gauss_newton", iterations=(8, 6)),
+        keyframe=KeyframeConfig(
+            force_every=5, enable_quality_triggers=False, rollback_resolve=False
+        ),
+    )
+
+
+def _sequences(n_streams, n_frames):
+    seqs = []
+    for s in range(n_streams):
+        amp = 0.02 + 0.004 * s
+        ts = np.arange(n_frames)
+        phase = np.sin(np.pi * ts / (n_frames - 1))
+        psis = np.stack(
+            [amp * phase, -0.5 * amp * phase, 0.3 * amp * phase,
+             0.2 * amp * phase, -0.15 * amp * phase, 0.1 * amp * phase], -1
+        ).astype(np.float32)
+        frames, poses = render_sequence(CAM, psis, seed=s)
+        seqs.append(frames)
+    return seqs
+
+
+def test_lockstep_matches_independent_single_streams():
+    """Two-part parity claim:
+
+    (a) mesh sharding vs the same lockstep driver on ONE device: agreement
+        to ~1.3e-4 m over 12 frames. Not bitwise — partitioning the stream
+        axis gives each device a shard-of-1 program whose f32 reduction
+        tiling differs from the batch-of-8 compilation (measured, frame 1
+        already differs by ~1.6e-5) — but an order below the solver's own
+        accuracy.
+    (b) lockstep batching vs N independent single-stream drivers: ~4e-4
+        typical max difference (vmap reduction tiling again). Occasionally a
+        reduction-order difference flips one LM accept/reject decision,
+        quantizing the divergence to ~1.5e-3 on one pose component (measured,
+        stream 5) — still well under the solver's own 2-4 mm accuracy, so
+        both comparisons assert at 5e-3. Structural agreement (keyframe
+        schedule, frame count, divergence-free) is exact in both.
+    """
+    mesh = make_mesh()
+    n_streams = mesh.devices.size  # 8 on the test mesh
+    n_frames = 12  # crosses two periodic keyframe refreshes (0, 5, 10)
+    seqs = _sequences(n_streams, n_frames)
+
+    multi = MultiStreamOdometry(mesh, n_streams, _config())
+    mesh1 = make_mesh(np.asarray(jax.devices()[:1]))
+    multi1 = MultiStreamOdometry(mesh1, n_streams, _config())
+    for f in range(n_frames):
+        gray_b = np.stack([seqs[s][f][0] for s in range(n_streams)])
+        depth_b = np.stack([seqs[s][f][1] for s in range(n_streams)])
+        multi.process_batch(gray_b, depth_b, timestamp=f / 30.0)
+        multi1.process_batch(gray_b, depth_b, timestamp=f / 30.0)
+    multi_trajs = multi.trajectories()
+
+    # the warm-start pose pytree is genuinely sharded over the mesh
+    warm_shard = multi._warm[0].sharding
+    assert len(warm_shard.device_set) == n_streams
+
+    # (a) sharded vs single-device lockstep
+    for s in range(n_streams):
+        Rm, tm, _ = multi_trajs[s]
+        R1d, t1d, _ = multi1.trajectories()[s]
+        np.testing.assert_allclose(tm, t1d, atol=5e-3, err_msg=f"sharding drift, stream {s}")
+        np.testing.assert_allclose(Rm, R1d, atol=5e-3, err_msg=f"sharding drift, stream {s}")
+        assert multi.gops[s].keyframe_indices() == multi1.gops[s].keyframe_indices()
+
+    # (b) lockstep vs N independent single-stream drivers
+    for s in range(n_streams):
+        single = EdgeDvoOdometry(_config())
+        for f in range(n_frames):
+            g, d = seqs[s][f]
+            single.process_frame(g, d, timestamp=f / 30.0)
+        R1, t1, ts1 = single.gop.poses()
+        Rm, tm, tsm = multi_trajs[s]
+        assert len(ts1) == len(tsm) == n_frames
+        np.testing.assert_allclose(tm, t1, atol=5e-3, err_msg=f"stream {s}")
+        np.testing.assert_allclose(Rm, R1, atol=5e-3, err_msg=f"stream {s}")
+        # keyframe structure identical
+        assert multi.gops[s].keyframe_indices() == single.gop.keyframe_indices()
+    assert not multi.diverged_frames
+
+
+def test_rejects_desynchronizing_policies():
+    mesh = make_mesh()
+    cfg = _config()
+    with pytest.raises(ValueError, match="PERIODIC"):
+        MultiStreamOdometry(
+            mesh, mesh.devices.size,
+            dataclasses.replace(
+                cfg, keyframe=dataclasses.replace(cfg.keyframe, rollback_resolve=True)
+            ),
+        )
+    with pytest.raises(ValueError, match="multiple"):
+        MultiStreamOdometry(mesh, mesh.devices.size + 1, cfg)
