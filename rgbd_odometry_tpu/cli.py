@@ -60,13 +60,25 @@ def _make_source(args):
 
         cam = CameraConfig()
         degrade = None
-        if args.noise > 0 or args.texture > 0 or args.illum_drift != 0:
+        if (
+            args.noise > 0
+            or args.texture > 0
+            or args.illum_drift != 0
+            or args.depth_quantize
+            or args.depth_holes > 0
+            or args.dropout_blobs > 0
+            or args.motion_blur > 0
+        ):
             from rgbd_odometry_tpu.io.synthetic import Degradations
 
             degrade = Degradations(
                 texture_amp=args.texture,
                 noise_sigma=args.noise,
                 illum_gain_per_frame=args.illum_drift,
+                depth_quantize_tum=args.depth_quantize,
+                depth_shadow_px=args.depth_holes,
+                depth_dropout_blobs=args.dropout_blobs,
+                motion_blur_px=args.motion_blur,
             )
         synth = SyntheticCamera(cam, num_frames=args.frames, degrade=degrade)
         frames = synth.frames()
@@ -89,6 +101,10 @@ def _add_source_args(p):
     p.add_argument("--noise", type=float, default=0.0, help="synthetic sensor noise sigma (bagManip fixtures)")
     p.add_argument("--texture", type=float, default=0.0, help="synthetic scene texture amplitude")
     p.add_argument("--illum-drift", type=float, default=0.0, help="synthetic illumination gain drift per frame")
+    p.add_argument("--depth-quantize", action="store_true", help="TUM uint16 1/5000m depth quantization")
+    p.add_argument("--depth-holes", type=int, default=0, help="structured-light shadow band width (px)")
+    p.add_argument("--dropout-blobs", type=int, default=0, help="random depth dropout blobs per frame")
+    p.add_argument("--motion-blur", type=float, default=0.0, help="motion blur kernel length (px)")
     p.add_argument("--calib", default=None, help="OpenCV-XML calibration file")
     p.add_argument("--out", default=None, help="TUM-format trajectory output path")
 

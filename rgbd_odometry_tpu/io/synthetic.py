@@ -47,6 +47,23 @@ class Degradations:
     illum_gain_per_frame: float = 0.0
     illum_bias_per_frame: float = 0.0
     seed: int = 1000
+    # ---- TUM/PrimeSense-shaped sensor modeling (round 3) ------------------
+    # quantize depth to the TUM file format: uint16 at 1/5000 m = 0.2 mm
+    # steps (the exact representable set of every real TUM depth PNG)
+    depth_quantize_tum: bool = False
+    # structured-light shadow holes: depth is LOST in a band on the right of
+    # every strong horizontal depth discontinuity (the IR projector is
+    # baseline-offset from the camera, so foreground objects occlude the
+    # pattern on one side). Holes read 0 -> sanitized to 1 mm -> rejected by
+    # the >100 mm point gate, the real missing-data path
+    depth_shadow_px: int = 0  # band width in pixels (0 = off)
+    depth_shadow_thresh_mm: float = 150.0
+    # random elliptical dropout blobs per frame (specular/absorbing surfaces)
+    depth_dropout_blobs: int = 0
+    depth_dropout_radius_px: float = 6.0
+    # mild motion blur: gray convolved with a length-L line kernel in a
+    # per-frame random direction (handheld shake during exposure)
+    motion_blur_px: float = 0.0
 
 
 def degrade_frame(
@@ -58,6 +75,20 @@ def degrade_frame(
     """Apply the per-frame (sensor-side) degradations. Texture is scene-side
     and lives in SyntheticScene; this handles noise + illumination drift."""
     g = gray.astype(np.float32)
+    if deg.motion_blur_px >= 2.0:
+        # length-L line kernel in a per-frame random direction: integer-tap
+        # average of shifted copies (cheap, direction varies per frame like
+        # real handheld shake)
+        rng_b = np.random.default_rng(deg.seed + 7919 * frame_idx + 2)
+        ang = rng_b.uniform(0, np.pi)
+        L = max(2, int(round(deg.motion_blur_px)))
+        acc = np.zeros_like(g)
+        for k in range(L):
+            s = k - (L - 1) / 2.0
+            dy = int(round(s * np.sin(ang)))
+            dx = int(round(s * np.cos(ang)))
+            acc += np.roll(np.roll(g, dy, axis=0), dx, axis=1)
+        g = acc / L
     gain = 1.0 + deg.illum_gain_per_frame * frame_idx
     bias = deg.illum_bias_per_frame * frame_idx
     g = g * gain + bias
@@ -69,6 +100,27 @@ def degrade_frame(
         rng = np.random.default_rng(deg.seed + 7919 * frame_idx + 1)
         noise = rng.normal(0.0, deg.depth_noise_mm, d.shape).astype(np.float32)
         d = np.where(d > 0, np.maximum(d + noise, 1.0), d)
+    if deg.depth_shadow_px > 0:
+        # occlusion shadow: kill a band to the RIGHT of strong horizontal
+        # depth steps (projector baseline direction)
+        dd = np.abs(np.diff(d, axis=1)) > deg.depth_shadow_thresh_mm
+        hole = np.zeros(d.shape, bool)
+        for k in range(deg.depth_shadow_px):
+            hole[:, 1 + k :] |= dd[:, : d.shape[1] - 1 - k]
+        d = np.where(hole, 0.0, d)
+    if deg.depth_dropout_blobs > 0:
+        rng_h = np.random.default_rng(deg.seed + 7919 * frame_idx + 3)
+        yy, xx = np.mgrid[0 : d.shape[0], 0 : d.shape[1]]
+        for _ in range(deg.depth_dropout_blobs):
+            cy = rng_h.uniform(0, d.shape[0])
+            cx = rng_h.uniform(0, d.shape[1])
+            ry = deg.depth_dropout_radius_px * rng_h.uniform(0.5, 1.5)
+            rx = deg.depth_dropout_radius_px * rng_h.uniform(0.5, 1.5)
+            blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+            d = np.where(blob, 0.0, d)
+    if deg.depth_quantize_tum:
+        # TUM PNG format: uint16 at 1/5000 m -> depth_mm in 0.2 mm steps
+        d = np.round(d * 5.0) / 5.0
     return np.round(np.clip(g, 0, 255)).astype(np.float32), d
 
 
