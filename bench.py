@@ -38,22 +38,30 @@ def main() -> None:
     from rgbd_odometry_tpu.io.synthetic import render_pair
     from rgbd_odometry_tpu.solvers import edge_dvo
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64  # throughput sweet spot (B-sweep: flat 64..128)
+    # r3 B-sweep on v5e: 64 -> 3.95k, 128 -> 4.23k, 256 -> 4.54k, 512 -> 3.45k
+    # f/s (same code): 256 amortizes the ~1.8 ms fixed dispatch cost best and
+    # matches BASELINE.json's batch config
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     cam = CameraConfig()  # reference base: 320x240, Freiburg-1 intrinsics
     num_levels = 4
-    max_pts = (4096, 2048, 1024, 512)
+    # capacity 2048 at level 0: stride-8 solves use max 512 points either way
+    # (jstride = min(stride, cap//512)); the smaller top-k is cheaper and the
+    # family accuracy sweep measured equal-or-better errors at this capacity
+    max_pts = (2048, 1024, 512, 512)
     # production LM profile: accuracy measured equal to the reference's
     # 50-iteration schedule on the synthetic suite (0.1-0.5px reprojection);
     # lm_jacobian_stride=8 verified at equal pose error on 3 scenes
     # (tools/profile_variants.py + 3-scene align_pair check, r2)
-    # edt_window=32 + unnormalized (pixel-unit) DT: exact distances <= 32 px,
-    # ~5x cheaper row phase; accuracy measured BETTER than the normalized
-    # exact transform on the 3-scene suite (1.7-3.6 mm vs 2.4-4.5 mm)
+    # edt_window=16 + unnormalized (pixel-unit) DT: exact distances <= 16 px,
+    # ~10x cheaper row phase than the full min-plus; the robust weight
+    # 6/(6+r^2) makes residuals beyond ~10 px negligible, and the 6-family
+    # accuracy sweep (r3) measured equal-or-BETTER errors than window 32 on
+    # every family x magnitude combo (step time 46.5 -> 37.6 ms at batch 256)
     cfg = SolverConfig(
         method="gauss_newton",
         iterations=(18, 6, 4, 3),
         lm_jacobian_stride=8,
-        edt_window=32,
+        edt_window=16,
         normalize_dt=False,
         # deferred-accept LM: the next iteration's gather doubles as the
         # accept verdict (identical recovery on the accuracy suite)

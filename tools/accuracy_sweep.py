@@ -71,13 +71,13 @@ def main():
 
     cam = CameraConfig()
     intr = Intrinsics.from_config(cam)
-    max_pts = (4096, 2048, 1024, 512)
+    max_pts = (2048, 1024, 512, 512)
     profiles = {
         "production_lm": SolverConfig(
             method="gauss_newton",
             iterations=(18, 6, 4, 3),
             lm_jacobian_stride=8,
-            edt_window=32,
+            edt_window=16,
             normalize_dt=False,
             lm_deferred_accept=True,  # matches bench.py's production profile
         ),
