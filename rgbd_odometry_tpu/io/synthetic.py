@@ -16,6 +16,7 @@ tests assert pose recovery far more tightly than bag replay ever could.
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -268,7 +269,28 @@ def render_pair(
     degrade: Degradations | None = None,
 ):
     """Render (ref, now) frame pair where the now-camera pose in the ref frame
-    is se3_exp(psi) — the exact ground truth the solver should recover."""
+    is se3_exp(psi) — the exact ground truth the solver should recover.
+
+    Renders are memoized process-wide (the renderer is deterministic in its
+    arguments, incl. the frozen `Degradations`): test suites and benchmarks
+    re-render the same handful of scene/pose combos dozens of times, and on
+    a small host the numpy ray casting is seconds per call. Returned arrays
+    are fresh copies — mutating a result never poisons the cache.
+    """
+    key = (cam, np.asarray(psi, np.float32).tobytes(), seed, supersample, degrade)
+    out = _render_pair_cached(key)
+    (rg, rd), (ng, nd), (R_gt, t_gt) = out
+    return (
+        (rg.copy(), rd.copy()),
+        (ng.copy(), nd.copy()),
+        (R_gt.copy(), t_gt.copy()),
+    )
+
+
+@_functools.lru_cache(maxsize=64)
+def _render_pair_cached(key):
+    cam, psi_bytes, seed, supersample, degrade = key
+    psi = np.frombuffer(psi_bytes, np.float32)
     from rgbd_odometry_tpu.core import geometry as geo
     import jax.numpy as jnp
 

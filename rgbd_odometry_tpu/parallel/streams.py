@@ -9,14 +9,17 @@ stream by one frame — N cameras tracked in lockstep with the per-frame
 dispatch economy of the single-stream driver (1 jit call + 1 device_get
 per step; +1 batched extract on keyframe steps).
 
-Keyframe semantics: the PERIODIC refresh policy with the __OLD__REF_UPDATE
-variant (/root/reference/src/SolveDVO.cpp:2155-2160 + :2166-2191) — every
-stream refreshes its reference keyframe on the same step, so the refresh
-work is itself one batched dispatch. The data-dependent per-stream policies
-(quality triggers :2129-2152, rollback re-solve :2194-2233) are rejected at
-construction: they desynchronize streams, which on a lockstep SPMD driver
-would force per-stream masked re-solves; use the single-stream driver when
-those are required.
+Keyframe semantics: the __OLD__REF_UPDATE variant
+(/root/reference/src/SolveDVO.cpp:2166-2191) with both the PERIODIC refresh
+(:2155-2160) and the per-stream QUALITY TRIGGERS (Laplacian b-hat /
+visibility / reprojected-point count, :2129-2152). Data-dependent per-stream
+refresh stays lockstep-compatible because __OLD__REF_UPDATE re-references
+the CURRENT frame: when any stream triggers, ONE batched re-extraction runs
+and a masked select swaps new reference features into exactly the flagged
+streams (everyone else's features pass through untouched). Only the
+rollback re-solve (__NEW__REF_UPDATE, :2194-2233 — promote frame n-1 and
+re-run the solve) is rejected at construction: it needs per-stream retained
+pyramids and a second divergent solve; use the single-stream driver for it.
 
 Per-stream warm-start poses stay device-resident between steps (the same
 RTT discipline as the single-stream driver); per-stream trajectories/GOP
@@ -39,7 +42,10 @@ from rgbd_odometry_tpu.parallel.mesh import DATA_AXIS
 from rgbd_odometry_tpu.pipeline.gop import (
     Gop,
     REASON_FIRST_FRAME,
+    REASON_LAPLACIAN_THRESH,
+    REASON_LOW_VISIBILITY,
     REASON_PERIODIC,
+    REASON_TOO_FEW_REPROJECTIONS,
 )
 from rgbd_odometry_tpu.solvers import edge_dvo
 
@@ -61,13 +67,15 @@ class MultiStreamOdometry:
     ):
         self.cfg = config or PipelineConfig()
         kf = self.cfg.keyframe
-        if kf.enable_quality_triggers or kf.rollback_resolve:
+        if kf.rollback_resolve:
             raise ValueError(
-                "MultiStreamOdometry implements the synchronized PERIODIC "
-                "keyframe policy only (quality triggers / rollback_resolve "
-                "desynchronize streams); configure "
-                "KeyframeConfig(enable_quality_triggers=False, "
-                "rollback_resolve=False) or use EdgeDvoOdometry per stream."
+                "MultiStreamOdometry implements the __OLD__REF_UPDATE "
+                "keyframe variant (current frame becomes the reference, "
+                "synchronized PERIODIC refresh + per-stream quality triggers "
+                "via masked batched re-extraction). rollback_resolve "
+                "(__NEW__REF_UPDATE, promote frame n-1 + re-solve) "
+                "desynchronizes the lockstep; use EdgeDvoOdometry per "
+                "stream when it is required."
             )
         n_dev = mesh.devices.size
         if n_streams % n_dev:
@@ -77,7 +85,8 @@ class MultiStreamOdometry:
         self.intr = Intrinsics.from_config(self.cfg.camera)
         self.gops: List[Gop] = [Gop() for _ in range(n_streams)]
         self._frame_num = -1
-        self._last_ref_frame = -1
+        # per-stream last reference frame (quality triggers desynchronize it)
+        self._last_ref = np.zeros(n_streams, np.int64)
         self._ref_feats = None
         self._warm = None  # device (N,3,3),(N,3), sharded
         # host mirror of each stream's current relative pose (for the
@@ -112,6 +121,27 @@ class MultiStreamOdometry:
             out_shardings=self._shard,
         )
 
+        def _merge(old_feats, new_feats, mask):
+            # per-stream select: flagged streams take the freshly-extracted
+            # reference features, others keep theirs (one tiny fused op)
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    mask.reshape((mask.shape[0],) + (1,) * (a.ndim - 1)), b, a
+                ),
+                old_feats,
+                new_feats,
+            )
+
+        self._merge = jax.jit(_merge, out_shardings=self._shard)
+
+        def _select_warm(R_d, t_d, mask):
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=R_d.dtype), R_d.shape)
+            R0 = jnp.where(mask[:, None, None], eye, R_d)
+            t0 = jnp.where(mask[:, None], jnp.zeros_like(t_d), t_d)
+            return R0, t0
+
+        self._select_warm = jax.jit(_select_warm, out_shardings=self._shard)
+
     # ------------------------------------------------------------------
     def _put(self, pytree):
         return jax.tree_util.tree_map(
@@ -141,7 +171,7 @@ class MultiStreamOdometry:
 
         if self._frame_num == 0:
             self._ref_feats = self._extract(pyr.gray, pyr.depth)
-            self._last_ref_frame = 0
+            self._last_ref[:] = 0
             self._warm = self._identity_warm()
             for s in range(self.n):
                 self.gops[s].push_keyframe(
@@ -152,8 +182,13 @@ class MultiStreamOdometry:
         R_d, t_d, finest_d = self._step(
             self._ref_feats, pyr.gray, self._warm[0], self._warm[1]
         )
+        kf = self.cfg.keyframe
         # ONE batched device->host pull for all streams' control decisions
-        R, t = jax.device_get((R_d, t_d))
+        if kf.enable_quality_triggers:
+            R, t, finest = jax.device_get((R_d, t_d, finest_d))
+        else:
+            R, t = jax.device_get((R_d, t_d))
+            finest = None
         R = np.asarray(R, np.float64)
         t = np.asarray(t, np.float64)
         finite = np.isfinite(R).all(axis=(1, 2)) & np.isfinite(t).all(axis=1)
@@ -163,30 +198,61 @@ class MultiStreamOdometry:
             self.diverged_frames.append((self._frame_num, int(s)))
         self._R, self._t = R, t
 
-        periodic = (
-            self._frame_num - self._last_ref_frame
-        ) == self.cfg.keyframe.force_every
-        if periodic:
-            # synchronized __OLD__REF_UPDATE: every stream keeps its solved
-            # pose as the keyframe edge and re-references the current frame
+        # per-stream keyframe decision, same predicate order as the
+        # single-stream driver (EdgeDvoOdometry._resolve)
+        reasons = np.zeros(self.n, np.int64)
+        if kf.enable_quality_triggers:
+            from rgbd_odometry_tpu.pipeline.odometry import residual_b_cap
+
             for s in range(self.n):
-                self.gops[s].push_keyframe(
-                    self._frame_num, REASON_PERIODIC, R[s], t[s], timestamp
+                b_cap = residual_b_cap(
+                    finest.final_epsilons[s], int(finest.num_points[s])
                 )
-            self._ref_feats = self._extract(pyr.gray, pyr.depth)
-            self._last_ref_frame = self._frame_num
-            self._R = np.tile(np.eye(3), (self.n, 1, 1))
-            self._t = np.zeros((self.n, 3))
-            self._warm = self._identity_warm()
-        else:
-            for s in range(self.n):
+                if b_cap > kf.laplacian_b_thresh:
+                    reasons[s] = REASON_LAPLACIAN_THRESH
+                if float(finest.visible_ratio[s]) < kf.min_visible_ratio:
+                    reasons[s] = REASON_LOW_VISIBILITY
+                if int(finest.final_valid[s].sum()) < kf.min_reprojected_pts:
+                    reasons[s] = REASON_TOO_FEW_REPROJECTIONS
+        reasons[(self._frame_num - self._last_ref) == kf.force_every] = (
+            REASON_PERIODIC
+        )
+
+        refresh = reasons != 0
+        for s in range(self.n):
+            if refresh[s]:
+                # __OLD__REF_UPDATE per stream: solved pose becomes the
+                # keyframe edge; the current frame becomes its reference
+                self.gops[s].push_keyframe(
+                    self._frame_num, int(reasons[s]), R[s], t[s], timestamp
+                )
+                self._last_ref[s] = self._frame_num
+                self._R[s] = np.eye(3)
+                self._t[s] = np.zeros(3)
+            else:
                 self.gops[s].push_ordinary(self._frame_num, R[s], t[s], timestamp)
+
+        if refresh.any():
+            # ONE batched re-extraction; flagged streams swap their reference
+            # features in a masked select, the rest keep theirs untouched
+            new_feats = self._extract(pyr.gray, pyr.depth)
+            mask = self._put(jnp.asarray(refresh))
+            self._ref_feats = self._merge(self._ref_feats, new_feats, mask)
             if finite.all():
-                self._warm = (R_d, t_d)  # device-resident, no re-upload
+                self._warm = self._select_warm(R_d, t_d, mask)
             else:
                 self._warm = self._put(
-                    (jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+                    (
+                        jnp.asarray(self._R, jnp.float32),
+                        jnp.asarray(self._t, jnp.float32),
+                    )
                 )
+        elif finite.all():
+            self._warm = (R_d, t_d)  # device-resident, no re-upload
+        else:
+            self._warm = self._put(
+                (jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+            )
         return self._global_poses()
 
     def _global_poses(self) -> Tuple[np.ndarray, np.ndarray]:

@@ -16,6 +16,7 @@ on device so a rollback re-solve costs one extra solve, no transfers.
 
 from __future__ import annotations
 
+import functools as _functools
 import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
@@ -75,6 +76,42 @@ def residual_histogram(epsilons: np.ndarray, valid: np.ndarray, bins: int = 260)
     return h / max(len(e), 1)
 
 
+@_functools.lru_cache(maxsize=64)
+def _compiled_entry_points(camera_cfg, scfg, max_pts):
+    """Process-wide cache of the driver's jitted callables, keyed by the
+    (hashable, frozen) camera + solver configs and point capacities.
+
+    jit wrappers created per instance re-TRACE the whole pipeline each time
+    (seconds of host work on a small core) even when the XLA persistent
+    cache already holds the compiled executable; sharing the wrappers makes
+    the Nth driver construction free and keeps device executables warm
+    across drivers in one process (CLI flows, tests, notebook use).
+    """
+    intr = Intrinsics.from_config(camera_cfg)
+
+    extract_ref = jax.jit(
+        lambda g, d: edge_dvo.extract_ref_features(g, d, intr, scfg, max_pts)
+    )
+    prepare_now = jax.jit(lambda g: edge_dvo.prepare_now_targets(g, scfg))
+    solve = jax.jit(
+        lambda feats, tgts, R0, t0: edge_dvo.solve_pyramid(
+            feats, tgts, intr, scfg, R0, t0
+        )
+    )
+
+    # fused per-frame step: targets + coarse-to-fine solve in ONE jit
+    # call. On a tunneled device every dispatch+sync costs a full RTT
+    # (~28 ms here) and the streaming loop is sequential, so calls per
+    # frame bound the frame rate. The targets are returned (device-
+    # resident) so a rollback re-solve can reuse them without recompute.
+    def _step(feats, gray_pyr, R0, t0):
+        tgts = edge_dvo.prepare_now_targets(gray_pyr, scfg)
+        R, t, diags = edge_dvo.solve_pyramid(feats, tgts, intr, scfg, R0, t0)
+        return R, t, diags[0], tgts
+
+    return extract_ref, prepare_now, solve, jax.jit(_step)
+
+
 class EdgeDvoOdometry:
     """Streaming odometry over a sequence of RGB-D frames."""
 
@@ -99,33 +136,17 @@ class EdgeDvoOdometry:
         # None = out of sync; the next step pays one upload.
         self._warm_dev = None
 
-        scfg = self.cfg.solver
         pyr = self.cfg.pyramid
         max_pts = pyr.max_points[: pyr.num_levels]
-
-        self._extract_ref = jax.jit(
-            lambda g, d: edge_dvo.extract_ref_features(g, d, self.intr, scfg, max_pts)
-        )
-        self._prepare_now = jax.jit(
-            lambda g: edge_dvo.prepare_now_targets(g, scfg)
-        )
-        self._solve = jax.jit(
-            lambda feats, tgts, R0, t0: edge_dvo.solve_pyramid(
-                feats, tgts, self.intr, scfg, R0, t0
-            )
-        )
-
-        # fused per-frame step: targets + coarse-to-fine solve in ONE jit
-        # call. On a tunneled device every dispatch+sync costs a full RTT
-        # (~28 ms here) and the streaming loop is sequential, so calls per
-        # frame bound the frame rate. The targets are returned (device-
-        # resident) so a rollback re-solve can reuse them without recompute.
-        def _step(feats, gray_pyr, R0, t0):
-            tgts = edge_dvo.prepare_now_targets(gray_pyr, scfg)
-            R, t, diags = edge_dvo.solve_pyramid(feats, tgts, self.intr, scfg, R0, t0)
-            return R, t, diags[0], tgts
-
-        self._step = jax.jit(_step)
+        # jitted entry points are shared process-wide per configuration
+        # (two drivers with the same config trace+compile ONCE — the
+        # per-instance-closure recompile gotcha of round 2 is gone)
+        (
+            self._extract_ref,
+            self._prepare_now,
+            self._solve,
+            self._step,
+        ) = _compiled_entry_points(self.cfg.camera, self.cfg.solver, max_pts)
 
     # ------------------------------------------------------------------
     def process_frame(

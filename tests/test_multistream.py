@@ -118,7 +118,7 @@ def test_lockstep_matches_independent_single_streams():
 def test_rejects_desynchronizing_policies():
     mesh = make_mesh()
     cfg = _config()
-    with pytest.raises(ValueError, match="PERIODIC"):
+    with pytest.raises(ValueError, match="lockstep"):
         MultiStreamOdometry(
             mesh, mesh.devices.size,
             dataclasses.replace(
@@ -127,3 +127,77 @@ def test_rejects_desynchronizing_policies():
         )
     with pytest.raises(ValueError, match="multiple"):
         MultiStreamOdometry(mesh, mesh.devices.size + 1, cfg)
+
+
+def test_per_stream_quality_triggers_fire_independently():
+    """A scene cut in ONE stream must trigger a keyframe refresh on that
+    stream alone (masked batched re-extraction), with the same decision the
+    single-stream driver makes — the other streams stay on their schedule."""
+    mesh = make_mesh()
+    n_streams = mesh.devices.size
+    n_frames = 8
+    cut_stream, cut_frame = 2, 4
+    cfg = PipelineConfig(
+        camera=CAM,
+        pyramid=PyramidConfig(num_levels=2, max_points=(768, 384)),
+        solver=SolverConfig(method="gauss_newton", iterations=(8, 6)),
+        keyframe=KeyframeConfig(
+            force_every=50,  # periodic out of the way
+            enable_quality_triggers=True,
+            # ordinary tracking on these scenes rides at b-hat ~2.7-3.5 (the
+            # reference's 3.0 default fires routinely); raise it so only the
+            # scene cut's blown-up residuals (b-hat >> 10) can trigger
+            laplacian_b_thresh=10.0,
+            rollback_resolve=False,
+        ),
+    )
+    # gentle motion: easy alignments keep b-hat/visibility far from the
+    # trigger thresholds on the uncut streams (the cut must be the ONLY
+    # trigger source)
+    seqs = []
+    for s in range(n_streams):
+        amp = 0.006 + 0.0015 * s
+        ts = np.arange(n_frames)
+        phase = np.sin(np.pi * ts / (n_frames - 1))
+        psis = np.stack(
+            [amp * phase, -0.5 * amp * phase, 0.3 * amp * phase,
+             0.2 * amp * phase, -0.15 * amp * phase, 0.1 * amp * phase], -1
+        ).astype(np.float32)
+        frames, _ = render_sequence(CAM, psis, seed=s)
+        seqs.append(frames)
+    # scene cut: from cut_frame on, the cut stream watches a DIFFERENT scene
+    for f in range(cut_frame, n_frames):
+        seqs[cut_stream][f] = _cut_scene_frame(f, n_frames)
+
+    multi = MultiStreamOdometry(mesh, n_streams, cfg)
+    for f in range(n_frames):
+        gray_b = np.stack([seqs[s][f][0] for s in range(n_streams)])
+        depth_b = np.stack([seqs[s][f][1] for s in range(n_streams)])
+        multi.process_batch(gray_b, depth_b, timestamp=f / 30.0)
+
+    # the cut stream refreshed for a QUALITY reason; the others did not
+    cut_kfs = multi.gops[cut_stream].keyframe_indices()
+    assert any(k >= cut_frame for k in cut_kfs), cut_kfs
+    for s in range(n_streams):
+        if s == cut_stream:
+            continue
+        assert multi.gops[s].keyframe_indices() == [0], (
+            s, multi.gops[s].keyframe_indices(),
+        )
+
+    # per-stream parity: the single-stream driver with the same config makes
+    # the same keyframe decisions on the cut sequence
+    single = EdgeDvoOdometry(cfg)
+    for f in range(n_frames):
+        g, d = seqs[cut_stream][f]
+        single.process_frame(g, d, timestamp=f / 30.0)
+    assert single.gop.keyframe_indices() == cut_kfs
+
+
+def _cut_scene_frame(f, n_frames):
+    """A frame from a completely different scene (the post-cut world)."""
+    from rgbd_odometry_tpu.io.synthetic import render_pair
+
+    psi = np.zeros(6, np.float32)
+    (g, d), _, _ = render_pair(CAM, psi, seed=91 + f)
+    return (g, d)
