@@ -17,7 +17,10 @@ tests assert pose recovery far more tightly than bag replay ever could.
 from __future__ import annotations
 
 import functools as _functools
+import os as _os
 from dataclasses import dataclass
+
+_RENDER_CACHE = _os.environ.get("RGBD_TPU_DISABLE_RENDER_CACHE", "") != "1"
 
 import numpy as np
 
@@ -278,7 +281,7 @@ def render_pair(
     are fresh copies — mutating a result never poisons the cache.
     """
     key = (cam, np.asarray(psi, np.float32).tobytes(), seed, supersample, degrade)
-    out = _render_pair_cached(key)
+    out = _render_pair_cached(key) if _RENDER_CACHE else _render_pair_cached.__wrapped__(key)
     (rg, rd), (ng, nd), (R_gt, t_gt) = out
     return (
         (rg.copy(), rd.copy()),

@@ -16,7 +16,6 @@ on device so a rollback re-solve costs one extra solve, no transfers.
 
 from __future__ import annotations
 
-import functools as _functools
 import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
@@ -76,16 +75,18 @@ def residual_histogram(epsilons: np.ndarray, valid: np.ndarray, bins: int = 260)
     return h / max(len(e), 1)
 
 
-@_functools.lru_cache(maxsize=64)
-def _compiled_entry_points(camera_cfg, scfg, max_pts):
-    """Process-wide cache of the driver's jitted callables, keyed by the
-    (hashable, frozen) camera + solver configs and point capacities.
+def _build_entry_points(camera_cfg, scfg, max_pts):
+    """Build the driver's jitted callables for one camera/solver config.
 
-    jit wrappers created per instance re-TRACE the whole pipeline each time
-    (seconds of host work on a small core) even when the XLA persistent
-    cache already holds the compiled executable; sharing the wrappers makes
-    the Nth driver construction free and keeps device executables warm
-    across drivers in one process (CLI flows, tests, notebook use).
+    Deliberately NOT memoized across driver instances: a process-wide
+    `lru_cache` of these jit wrappers was tried (2026-08, round 3) to avoid
+    re-tracing per instance, and it deterministically SEGFAULTED XLA:CPU
+    later in the process — three different crash sites inside
+    compile/persistent-cache serialization of *unrelated* executables, all
+    at the same downstream test, reproduced solo, gone the moment the cache
+    was removed (full bisect in the round-3 log). Keeping long-lived shared
+    jit wrappers + their executables alive appears to tickle a jaxlib
+    lifetime bug; per-instance wrappers re-trace (seconds) but are safe.
     """
     intr = Intrinsics.from_config(camera_cfg)
 
@@ -138,15 +139,12 @@ class EdgeDvoOdometry:
 
         pyr = self.cfg.pyramid
         max_pts = pyr.max_points[: pyr.num_levels]
-        # jitted entry points are shared process-wide per configuration
-        # (two drivers with the same config trace+compile ONCE — the
-        # per-instance-closure recompile gotcha of round 2 is gone)
         (
             self._extract_ref,
             self._prepare_now,
             self._solve,
             self._step,
-        ) = _compiled_entry_points(self.cfg.camera, self.cfg.solver, max_pts)
+        ) = _build_entry_points(self.cfg.camera, self.cfg.solver, max_pts)
 
     # ------------------------------------------------------------------
     def process_frame(
