@@ -183,9 +183,59 @@ def _extras(jax, jnp, edge_dvo, intr, featsets, sets, cfg, ref_s, batch):
         jax.block_until_ready(out)
     streaming_hz = n_stream / (time.perf_counter() - t0)
 
+    # (c) lockstep multi-stream driver: 8 live cameras on one chip through
+    #     the production streaming path (parallel/streams.py) — per-frame
+    #     Hz of the whole 8-stream front (1 dispatch + 1 device_get/frame).
+    #     Opt-in (BENCH_MULTISTREAM=1): its fresh 8-stream 4-level compiles
+    #     add ~15 min through the remote compile server (measured 2026-08-17:
+    #     60.3 frames/s aggregate over the tunnel, ~7.5 Hz/stream — pure
+    #     RTT, like streaming_single_pair_hz; recorded in BASELINE.md)
+    import os
+
+    if os.environ.get("BENCH_MULTISTREAM", "") != "1":
+        return {
+            "subgradient_parity_frames_per_s": round(subgradient_fps, 2),
+            "streaming_single_pair_hz": round(streaming_hz, 2),
+            "batch": batch,
+        }
+    import numpy as np
+
+    from rgbd_odometry_tpu.config import (
+        KeyframeConfig,
+        PipelineConfig,
+        PyramidConfig,
+    )
+    from rgbd_odometry_tpu.parallel.mesh import make_mesh
+    from rgbd_odometry_tpu.parallel.streams import MultiStreamOdometry
+
+    n_streams = 8
+    pcfg = PipelineConfig(
+        solver=cfg,
+        pyramid=PyramidConfig(num_levels=4, max_points=(2048, 1024, 512, 512)),
+        keyframe=KeyframeConfig(
+            force_every=KEYFRAME_EVERY,
+            enable_quality_triggers=False,
+            rollback_resolve=False,
+        ),
+    )
+    ms = MultiStreamOdometry(make_mesh(), n_streams, pcfg)
+    g_b = [
+        np.stack([np.asarray(s[2][0][i % batch]) for i in range(n_streams)])
+        for s in sets
+    ]
+    d_b = np.stack([np.asarray(sets[0][1][0][i % batch]) for i in range(n_streams)])
+    for i in range(8):  # warm both executables incl. a keyframe step
+        ms.process_batch(g_b[i % 3], d_b, timestamp=i / 30.0)
+    t0 = time.perf_counter()
+    n_ms = 30
+    for i in range(n_ms):
+        ms.process_batch(g_b[i % 3], d_b, timestamp=(8 + i) / 30.0)
+    multistream_hz = n_ms / (time.perf_counter() - t0)
+
     return {
         "subgradient_parity_frames_per_s": round(subgradient_fps, 2),
         "streaming_single_pair_hz": round(streaming_hz, 2),
+        "multistream_8cam_frames_per_s": round(multistream_hz * n_streams, 2),
         "batch": batch,
     }
 

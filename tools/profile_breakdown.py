@@ -46,8 +46,11 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     cam = CameraConfig()
     num_levels = 4
-    max_pts = (4096, 2048, 1024, 512)
-    cfg = SolverConfig(method="gauss_newton", iterations=(18, 6, 4, 3))
+    max_pts = (2048, 1024, 512, 512)
+    cfg = SolverConfig(
+        method="gauss_newton", iterations=(18, 6, 4, 3), lm_jacobian_stride=8,
+        edt_window=16, normalize_dt=False, lm_deferred_accept=True,
+    )  # the adopted bench.py production profile (r3)
     intr = Intrinsics.from_config(cam)
 
     psi = np.array([0.01, -0.008, 0.005, 0.004, -0.006, 0.003], np.float32)
