@@ -189,6 +189,16 @@ class SolverConfig:
     # gauss_newton weights are normalization-independent (pixel units).
     # 0 = full exact transform (reference parity).
     edt_window: int = 0
+    # edge-point selection at extraction: "exact" = one lax.top_k over all
+    # pixels (keeps EVERY edge point whenever count <= capacity — reference
+    # semantics; the parity mode requires this). "segmented" = two-stage
+    # top-k (per-256-pixel-segment top-32, then top-k over the candidates):
+    # ~3x faster on v5e at 320x240/batch 256 (36.4 -> 12.4 ms) at the cost
+    # of thinning segments with >32 edge pixels (~0.3-1% of points dropped
+    # on typical scenes, lowest pseudo-random priority first — the same
+    # spatially-uniform thinning the capacity cap already applies on busy
+    # frames). Falls back to exact on levels too small to split.
+    extract_selection: str = "exact"
     # Jacobian flavour: "reference" reproduces the dehomogenized-coordinate
     # quirk of /root/reference/src/SolveDVO.cpp:340-401 (translation block
     # scaled by each point's depth — fine for a sub-gradient direction);
@@ -203,6 +213,18 @@ class SolverConfig:
                 "transform's max overestimates far-from-edge distances, so "
                 "min-max normalization would silently mis-scale the "
                 "pixel-unit robust weights (gn_weight_sigma2_px)"
+            )
+        if self.extract_selection not in ("exact", "segmented"):
+            raise ValueError(
+                f"extract_selection must be 'exact' or 'segmented', got "
+                f"{self.extract_selection!r}"
+            )
+        if self.extract_selection == "segmented" and self.method == "subgradient":
+            raise ValueError(
+                "the reference-parity subgradient mode requires "
+                "extract_selection='exact' (its semantics keep EVERY edge "
+                "point below capacity; segmented selection may thin dense "
+                "segments)"
             )
 
 

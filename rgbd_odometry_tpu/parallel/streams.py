@@ -109,11 +109,22 @@ class MultiStreamOdometry:
             in_shardings=(self._shard, self._shard),
             out_shardings=self._shard,
         )
+        # refresh path: the step already ran Canny for its targets; reuse
+        # those edge maps (bit-identical features, extraction skips Canny)
+        self._extract_e = jax.jit(
+            jax.vmap(
+                lambda g, d, e: edge_dvo.extract_ref_features(
+                    g, d, self.intr, scfg, max_pts, edges_pyr=e
+                )
+            ),
+            in_shardings=(self._shard, self._shard, self._shard),
+            out_shardings=self._shard,
+        )
 
         def _one(feats, gray_pyr, R0, t0):
             tgts = edge_dvo.prepare_now_targets(gray_pyr, scfg)
             R, t, diags = edge_dvo.solve_pyramid(feats, tgts, self.intr, scfg, R0, t0)
-            return R, t, diags[0]
+            return R, t, diags[0], tuple(t_.edges for t_ in tgts)
 
         self._step = jax.jit(
             jax.vmap(_one),
@@ -179,7 +190,7 @@ class MultiStreamOdometry:
                 )
             return self._global_poses()
 
-        R_d, t_d, finest_d = self._step(
+        R_d, t_d, finest_d, edges_d = self._step(
             self._ref_feats, pyr.gray, self._warm[0], self._warm[1]
         )
         kf = self.cfg.keyframe
@@ -235,7 +246,7 @@ class MultiStreamOdometry:
         if refresh.any():
             # ONE batched re-extraction; flagged streams swap their reference
             # features in a masked select, the rest keep theirs untouched
-            new_feats = self._extract(pyr.gray, pyr.depth)
+            new_feats = self._extract_e(pyr.gray, pyr.depth, edges_d)
             mask = self._put(jnp.asarray(refresh))
             self._ref_feats = self._merge(self._ref_feats, new_feats, mask)
             if finite.all():

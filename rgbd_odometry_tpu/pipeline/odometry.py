@@ -93,6 +93,13 @@ def _build_entry_points(camera_cfg, scfg, max_pts):
     extract_ref = jax.jit(
         lambda g, d: edge_dvo.extract_ref_features(g, d, intr, scfg, max_pts)
     )
+    # keyframe promotion path: the frame's targets (and thus its Canny edge
+    # maps) were already computed by the step — reuse them, skip Canny
+    extract_ref_from_edges = jax.jit(
+        lambda g, d, e: edge_dvo.extract_ref_features(
+            g, d, intr, scfg, max_pts, edges_pyr=e
+        )
+    )
     prepare_now = jax.jit(lambda g: edge_dvo.prepare_now_targets(g, scfg))
     solve = jax.jit(
         lambda feats, tgts, R0, t0: edge_dvo.solve_pyramid(
@@ -110,7 +117,7 @@ def _build_entry_points(camera_cfg, scfg, max_pts):
         R, t, diags = edge_dvo.solve_pyramid(feats, tgts, intr, scfg, R0, t0)
         return R, t, diags[0], tgts
 
-    return extract_ref, prepare_now, solve, jax.jit(_step)
+    return extract_ref, extract_ref_from_edges, prepare_now, solve, jax.jit(_step)
 
 
 class EdgeDvoOdometry:
@@ -141,6 +148,7 @@ class EdgeDvoOdometry:
         max_pts = pyr.max_points[: pyr.num_levels]
         (
             self._extract_ref,
+            self._extract_ref_from_edges,
             self._prepare_now,
             self._solve,
             self._step,
@@ -256,7 +264,7 @@ class EdgeDvoOdometry:
             # distrusted; promote frame n-1 to the reference keyframe, reset
             # the relative pose, and re-run the full pyramid solve.
             self._last_ref_frame = frame_num - 1
-            self._set_ref(self._prev_pyr)
+            self._set_ref(self._prev_pyr, targets=self._prev_targets)
             self.gop.update_most_recent_to_keyframe(reason)
             R_d, t_d, diags = self._solve(
                 self._ref_feats,
@@ -274,11 +282,12 @@ class EdgeDvoOdometry:
             # becomes the keyframe with the (possibly bad) estimate kept.
             self.gop.push_keyframe(frame_num, reason, np.asarray(R), np.asarray(t), timestamp)
             self._last_ref_frame = frame_num
-            self._set_ref(pyr)
+            self._set_ref(pyr, targets=targets)
             self._R = np.eye(3)
             self._t = np.zeros(3)
             self._record(frame_num, solve_ms, finest, b_cap, vis, reason, False)
             self._prev_pyr = pyr
+            self._prev_targets = targets
             return self.gop.global_pose(-1)
 
         R_np = np.asarray(R, np.float64)
@@ -298,6 +307,7 @@ class EdgeDvoOdometry:
         self.gop.push_ordinary(frame_num, self._R, self._t, timestamp)
         self._record(frame_num, solve_ms, finest, b_cap, vis, reason, rolled_back, diverged)
         self._prev_pyr = pyr
+        self._prev_targets = targets
         return self.gop.global_pose(-1)
 
     # ------------------------------------------------------------------
@@ -380,10 +390,18 @@ class EdgeDvoOdometry:
             yield self._resolve(p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0)
 
     # ------------------------------------------------------------------
-    def _set_ref(self, pyr: FramePyramid):
+    def _set_ref(self, pyr: FramePyramid, targets=None):
         """setRcvdFrameAsRefFrame / setPrevFrameAsRefFrame + preProcessRefFrame
-        (/root/reference/src/SolveDVO.cpp:537-586, :269-303)."""
-        self._ref_feats = self._extract_ref(pyr.gray, pyr.depth)
+        (/root/reference/src/SolveDVO.cpp:537-586, :269-303). When the
+        frame's now-targets are at hand their edge maps feed extraction
+        directly (bit-identical, Canny skipped)."""
+        if targets is not None:
+            edges = tuple(t.edges for t in targets)
+            self._ref_feats = self._extract_ref_from_edges(
+                pyr.gray, pyr.depth, edges
+            )
+        else:
+            self._ref_feats = self._extract_ref(pyr.gray, pyr.depth)
         self._R = np.eye(3)
         self._t = np.zeros(3)
         # identity is built on-device (no host transfer)

@@ -119,10 +119,6 @@ def extract_ref_level(
     h, w = mask.shape
     flat = mask.reshape(-1)
     k_max = min(k_max, h * w)  # coarse levels can be smaller than the cap
-    # count is clamped to capacity: it is the denominator of the visibility
-    # ratio and the Laplacian b-hat, which must describe the points actually
-    # tracked, not the frame's full edge census
-    count = jnp.minimum(jnp.sum(flat.astype(jnp.int32)), k_max)
     # top-K with a fixed pseudo-random tie-break priority: when the frame has
     # more qualifying edges than capacity, the kept subset is spatially
     # uniform over the image instead of lax.top_k's row-major-first prefix
@@ -134,8 +130,29 @@ def extract_ref_level(
         (np.random.default_rng(h * w).permutation(h * w).astype(np.float32) + 0.5)
         / (h * w)
     )
-    score, idx = jax.lax.top_k(flat.astype(jnp.float32) + pri, k_max)
+    flat_score = flat.astype(jnp.float32) + pri
+    if cfg.extract_selection == "segmented" and h * w >= 8 * k_max:
+        # two-stage selection (see SolverConfig.extract_selection): top-32
+        # per 256-pixel segment, then top-k over the S*32 candidates. One
+        # big top_k over H*W is the single most expensive op of extraction
+        # (36.4 -> 12.4 ms at 320x240/batch 256 on v5e); segments with >32
+        # edge pixels are thinned lowest-priority-first. Zero-padding to a
+        # segment multiple is harmless: pad scores are 0 < every real score.
+        seg_len = 256
+        n = h * w
+        s = -(-n // seg_len)
+        sc = jnp.pad(flat_score, (0, s * seg_len - n))
+        v, i = jax.lax.top_k(sc.reshape(s, seg_len), 32)
+        gi = (jnp.arange(s, dtype=jnp.int32)[:, None] * seg_len + i).reshape(-1)
+        score, sel = jax.lax.top_k(v.reshape(-1), k_max)
+        idx = jnp.minimum(jnp.take(gi, sel), n - 1)
+    else:
+        score, idx = jax.lax.top_k(flat_score, k_max)
     valid = score > 1.0
+    # count = points actually tracked: the denominator of the visibility
+    # ratio and the Laplacian b-hat. Equals min(edge census, capacity) for
+    # exact selection; under segmented selection it reflects any thinning.
+    count = jnp.sum(valid.astype(jnp.int32))
     ys = (idx // w).astype(gray.dtype)
     xs = (idx % w).astype(gray.dtype)
     if cfg.gather_mode == "mxu":
@@ -833,9 +850,17 @@ def extract_ref_features(
     intr: Intrinsics,
     cfg: SolverConfig,
     max_points: Tuple[int, ...],
+    edges_pyr: Tuple[jnp.ndarray, ...] | None = None,
 ) -> Tuple[RefLevel, ...]:
-    """`preProcessRefFrame` over all levels (/root/reference/src/SolveDVO.cpp:269)."""
-    edge_pyr = _pyramid_edges(gray_pyr, cfg)
+    """`preProcessRefFrame` over all levels (/root/reference/src/SolveDVO.cpp:269).
+
+    ``edges_pyr``: precomputed per-level Canny edge maps. A keyframe is
+    always a frame whose now-targets were just computed (`prepare_now_level`
+    ran Canny on the same gray), so the streaming driver passes
+    ``NowLevel.edges`` here and extraction skips its Canny entirely —
+    bit-identical features (same edge maps), ~40% cheaper extraction.
+    """
+    edge_pyr = edges_pyr if edges_pyr is not None else _pyramid_edges(gray_pyr, cfg)
     return tuple(
         extract_ref_level(g, d, intr.at_level(lvl), max_points[lvl], cfg, edges=e)
         for lvl, (g, d, e) in enumerate(zip(gray_pyr, depth_pyr, edge_pyr))

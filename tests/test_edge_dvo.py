@@ -232,3 +232,86 @@ def test_energy_curve_regression_golden():
         e = np.asarray(diag.energy)
         np.testing.assert_allclose(e, np.asarray(expected), rtol=2e-2, atol=0.5,
                                    err_msg=f"energy curve drifted for {method}")
+
+
+def test_extract_with_precomputed_edges_is_bit_identical():
+    """The keyframe-promotion path feeds the step's own Canny edge maps into
+    extraction (edges_pyr) — features must equal the from-scratch extraction
+    bit for bit (same edge maps in, same top-k decisions out)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rgbd_odometry_tpu.config import CameraConfig, SolverConfig
+    from rgbd_odometry_tpu.core.camera import Intrinsics
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+    from rgbd_odometry_tpu.io.synthetic import render_pair
+    from rgbd_odometry_tpu.solvers import edge_dvo
+
+    cam = CameraConfig(width=160, height=120, fx=176.0, fy=176.0, cx=79.5, cy=59.5)
+    psi = np.array([0.01, -0.008, 0.005, 0.004, -0.006, 0.003], np.float32)
+    (rg, rd), _, _ = render_pair(cam, psi, seed=2)
+    pyr = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), 2)
+    cfg = SolverConfig(method="gauss_newton")
+    intr = Intrinsics.from_config(cam)
+    base = edge_dvo.extract_ref_features(pyr.gray, pyr.depth, intr, cfg, (768, 384))
+    tgts = edge_dvo.prepare_now_targets(pyr.gray, cfg)
+    reused = edge_dvo.extract_ref_features(
+        pyr.gray, pyr.depth, intr, cfg, (768, 384),
+        edges_pyr=tuple(t.edges for t in tgts),
+    )
+    for lvl, (a, b) in enumerate(zip(base, reused)):
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=f"level {lvl}")
+
+
+def test_segmented_selection_subset_and_accuracy():
+    """extract_selection='segmented' (two-stage top-k) must select a subset
+    of the exact selection, lose at most ~2% of points (dense-segment
+    thinning), report a consistent count, and leave pose recovery intact."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rgbd_odometry_tpu.config import CameraConfig, SolverConfig
+    from rgbd_odometry_tpu.core.camera import Intrinsics
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+    from rgbd_odometry_tpu.io.synthetic import render_pair
+    from rgbd_odometry_tpu.solvers import edge_dvo
+
+    cam = CameraConfig(width=320, height=240, fx=262.5, fy=262.5, cx=159.75, cy=119.75)
+    psi = np.array([0.01, -0.008, 0.005, 0.004, -0.006, 0.003], np.float32)
+    (rg, rd), (ng, nd), (R_gt, t_gt) = render_pair(cam, psi, seed=0)
+    ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), 2)
+    now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), 2)
+    intr = Intrinsics.from_config(cam)
+    exact_cfg = SolverConfig(method="gauss_newton", iterations=(12, 6))
+    seg_cfg = dataclasses.replace(exact_cfg, extract_selection="segmented")
+
+    fe = edge_dvo.extract_ref_level(ref.gray[0], ref.depth[0], intr, 2048, exact_cfg)
+    fs = edge_dvo.extract_ref_level(ref.gray[0], ref.depth[0], intr, 2048, seg_cfg)
+    exact_set = set(
+        map(tuple, np.asarray(fe.uv)[np.asarray(fe.valid)].astype(int).tolist())
+    )
+    seg_set = set(
+        map(tuple, np.asarray(fs.uv)[np.asarray(fs.valid)].astype(int).tolist())
+    )
+    assert seg_set <= exact_set
+    assert len(seg_set) >= 0.98 * len(exact_set)
+    assert int(fs.count) == len(seg_set)
+    assert int(fe.count) == len(exact_set)
+
+    # pose recovery unchanged within the solver's own accuracy
+    errs = {}
+    for name, cfg in (("exact", exact_cfg), ("segmented", seg_cfg)):
+        R, t, _ = edge_dvo.align_pair(
+            ref.gray, ref.depth, now.gray, intr, cfg, max_points=(2048, 1024)
+        )
+        errs[name] = float(jnp.linalg.norm(t - jnp.asarray(t_gt, t.dtype)))
+    assert errs["segmented"] < max(2.0 * errs["exact"], 0.008), errs
+
+    # the parity mode refuses segmented selection
+    import pytest
+
+    with pytest.raises(ValueError, match="parity"):
+        SolverConfig(method="subgradient", extract_selection="segmented")

@@ -79,7 +79,8 @@ def main():
             lm_jacobian_stride=8,
             edt_window=16,
             normalize_dt=False,
-            lm_deferred_accept=True,  # matches bench.py's production profile
+            lm_deferred_accept=True,
+        extract_selection="segmented",  # matches bench.py's production profile
         ),
         "reference_parity_subgradient": SolverConfig(method="subgradient"),
     }
