@@ -146,13 +146,22 @@ def extract_ref_level(
         gi = (jnp.arange(s, dtype=jnp.int32)[:, None] * seg_len + i).reshape(-1)
         score, sel = jax.lax.top_k(v.reshape(-1), k_max)
         idx = jnp.minimum(jnp.take(gi, sel), n - 1)
+        valid = score > 1.0
+        # count = points actually tracked (the denominator of the visibility
+        # ratio and the Laplacian b-hat): under segmented selection it
+        # reflects any per-segment thinning, so it must be derived from the
+        # survivors themselves.
+        count = jnp.sum(valid.astype(jnp.int32))
     else:
         score, idx = jax.lax.top_k(flat_score, k_max)
-    valid = score > 1.0
-    # count = points actually tracked: the denominator of the visibility
-    # ratio and the Laplacian b-hat. Equals min(edge census, capacity) for
-    # exact selection; under segmented selection it reflects any thinning.
-    count = jnp.sum(valid.astype(jnp.int32))
+        valid = score > 1.0
+        # Exact selection keeps every edge pixel up to capacity, so the
+        # tracked count equals min(edge census, capacity). This form is also
+        # deliberately NOT sum(valid): reducing over top_k's output values
+        # perturbs XLA:CPU's partitioned fusion into a latent abort() under
+        # the 8-device pjit used by the test mesh (bisected 2026-08-17; the
+        # two forms are semantically identical on this branch).
+        count = jnp.minimum(jnp.sum(flat.astype(jnp.int32)), k_max)
     ys = (idx // w).astype(gray.dtype)
     xs = (idx % w).astype(gray.dtype)
     if cfg.gather_mode == "mxu":
