@@ -30,16 +30,23 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    shutdown_timeout_seconds: int = 300,
 ):
     """Bring up jax.distributed when running multi-process; no-op for one
     process (so the same entry point works on a laptop, one TPU VM, or a
-    pod slice)."""
+    pod slice).
+
+    shutdown_timeout_seconds bounds the exit barrier: every process must
+    reach shutdown within this window of the first arriver. Raise it when
+    per-process work is badly skewed (e.g. one host paying cold XLA
+    compiles the others have cached)."""
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        shutdown_timeout_seconds=shutdown_timeout_seconds,
     )
 
 

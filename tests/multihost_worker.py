@@ -32,8 +32,15 @@ def main():
     )
     from rgbd_odometry_tpu.parallel import multihost as mh
 
+    # shutdown_timeout_seconds=560: the exit barrier must tolerate the full
+    # skew between these two workers on the 1-core host — under a contended
+    # suite run one worker can trail the other by minutes of compile time
+    # (observed flake: "reached the barrier: 1/2" at the default 300 s).
     mh.initialize(
-        coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+        shutdown_timeout_seconds=560,
     )
     assert jax.process_count() == nproc
     assert len(jax.devices()) == nproc * 2  # 2 local CPU devices per "host"
