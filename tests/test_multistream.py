@@ -99,8 +99,14 @@ def test_lockstep_matches_independent_single_streams():
         np.testing.assert_allclose(Rm, R1d, atol=5e-3, err_msg=f"sharding drift, stream {s}")
         assert multi.gops[s].keyframe_indices() == multi1.gops[s].keyframe_indices()
 
-    # (b) lockstep vs N independent single-stream drivers
-    for s in range(n_streams):
+    # (b) lockstep vs independent single-stream drivers. Half the streams
+    # (4 distinct sequences, including both edges of the batch) — each
+    # independent driver is a fresh instance paying its own trace (sharing
+    # jit wrappers across instances is forbidden: see the segfault record on
+    # odometry._build_entry_points), so this section's cost is linear in the
+    # streams checked while the parity evidence saturates after a few
+    # distinct sequences.
+    for s in (0, 2, 5, n_streams - 1):
         single = EdgeDvoOdometry(_config())
         for f in range(n_frames):
             g, d = seqs[s][f]
