@@ -59,6 +59,8 @@ def _make_source(args):
         from rgbd_odometry_tpu.config import CameraConfig
 
         cam = CameraConfig()
+        if args.cam_scale != 1.0:
+            cam = cam.scaled(args.cam_scale)
         degrade = None
         if (
             args.noise > 0
@@ -95,6 +97,13 @@ def _add_source_args(p):
         "--source", default="synthetic", help="'synthetic', 'tum:<dir>' or 'xml:<dir>'"
     )
     p.add_argument("--frames", type=int, default=30, help="synthetic frame count")
+    p.add_argument(
+        "--cam-scale",
+        type=float,
+        default=1.0,
+        help="resolution scale for the synthetic camera (0.5 renders 160x120 "
+        "with matching intrinsics; data sources keep their native size)",
+    )
     p.add_argument("--start", type=int, default=None)
     p.add_argument("--end", type=int, default=None)
     p.add_argument("--skip", type=int, default=1, help="keep every Nth frame (bagManip harness)")

@@ -52,7 +52,7 @@ def test_cli_dvo_loop_close(tmp_path, capsys):
     est = str(tmp_path / "est.txt")
     main(
         [
-            "dvo", "--frames", "12", "--iterations", "10,5,3,2",
+            "dvo", "--frames", "12", "--cam-scale", "0.5", "--iterations", "10,5,3,2",
             "--keyframe-every", "3", "--loop-close", "--out", est,
         ]
     )

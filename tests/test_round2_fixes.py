@@ -297,6 +297,8 @@ def test_cli_dvo_viz_dir_writes_debug_images(tmp_path, capsys):
             "dvo",
             "--frames",
             "7",
+            "--cam-scale",
+            "0.5",
             "--iterations",
             "8,4,2,2",
             "--viz-dir",
@@ -339,7 +341,8 @@ def test_cli_resume_skips_processed_frames(tmp_path, capsys):
     from rgbd_odometry_tpu.cli import main
 
     ck = str(tmp_path / "state.npz")
-    main(["dvo", "--frames", "4", "--iterations", "8,4,2,2", "--checkpoint", ck])
+    main(["dvo", "--frames", "4", "--cam-scale", "0.5",
+          "--iterations", "8,4,2,2", "--checkpoint", ck])
     capsys.readouterr()
     est = str(tmp_path / "est.txt")
     main(
@@ -347,6 +350,8 @@ def test_cli_resume_skips_processed_frames(tmp_path, capsys):
             "dvo",
             "--frames",
             "8",
+            "--cam-scale",
+            "0.5",
             "--iterations",
             "8,4,2,2",
             "--resume",
@@ -371,13 +376,13 @@ def test_cli_resume_composes_with_skip(tmp_path, capsys):
 
     ck = str(tmp_path / "state.npz")
     # first run: every 2nd frame of 8 -> processes raw frames 0,2,4,6
-    main(["dvo", "--frames", "8", "--skip", "2", "--iterations", "8,4,2,2",
-          "--checkpoint", ck])
+    main(["dvo", "--frames", "8", "--skip", "2", "--cam-scale", "0.5",
+          "--iterations", "8,4,2,2", "--checkpoint", ck])
     capsys.readouterr()
     est = str(tmp_path / "est.txt")
     # same source flags over a longer stream + resume: raw 8,10,12,14 only
-    main(["dvo", "--frames", "16", "--skip", "2", "--iterations", "8,4,2,2",
-          "--resume", ck, "--out", est])
+    main(["dvo", "--frames", "16", "--skip", "2", "--cam-scale", "0.5",
+          "--iterations", "8,4,2,2", "--resume", ck, "--out", est])
     out = capsys.readouterr()
     assert "skipping 4 already-processed frames" in out.err
     traj = np.loadtxt(est, comments="#")
