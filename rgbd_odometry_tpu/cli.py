@@ -668,6 +668,107 @@ def cmd_dump(args):
     print(json.dumps({"frames_written": n, "dir": args.out_dir}))
 
 
+def cmd_multistream(args):
+    """N synthetic cameras tracked in lockstep over the device mesh.
+
+    The pod-ready N-camera production loop (`parallel/streams.py`): the
+    stream axis is sharded over every visible device, one fused dispatch
+    advances all streams per frame. Each stream runs an independent
+    synthetic trajectory; the command reports per-stream ATE against exact
+    ground truth plus the aggregate frame rate as one JSON line.
+    """
+    import json
+    import time
+
+    import numpy as np
+
+    from rgbd_odometry_tpu.config import (
+        CameraConfig,
+        KeyframeConfig,
+        PipelineConfig,
+        PyramidConfig,
+        SolverConfig,
+    )
+    from rgbd_odometry_tpu.eval.ate import ate_rmse
+    from rgbd_odometry_tpu.io.synthetic import render_sequence
+    from rgbd_odometry_tpu.parallel.mesh import make_mesh
+    from rgbd_odometry_tpu.parallel.streams import MultiStreamOdometry
+
+    import jax
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n_streams = args.streams or max(n_dev, 2)
+    if n_streams % n_dev != 0:
+        raise SystemExit(
+            f"--streams {n_streams} must be a multiple of the device count "
+            f"({n_dev}): XLA splits the stream axis evenly over the mesh"
+        )
+    cam = CameraConfig()
+    if args.cam_scale != 1.0:
+        cam = cam.scaled(args.cam_scale)
+    iters = tuple(int(x) for x in args.iterations.split(","))
+    levels = len(iters)
+    pcfg = PipelineConfig(
+        camera=cam,
+        pyramid=PyramidConfig(
+            num_levels=levels, max_points=(2048, 1024, 512, 512)[:levels]
+        ),
+        solver=SolverConfig(method="gauss_newton", iterations=iters),
+        keyframe=KeyframeConfig(
+            force_every=args.keyframe_every,
+            enable_quality_triggers=args.quality_triggers,
+            rollback_resolve=False,
+        ),
+    )
+
+    # distinct smooth out-and-back trajectory per stream
+    seqs, gts = [], []
+    ts = np.arange(args.frames)
+    phase = np.sin(np.pi * ts / max(args.frames - 1, 1))
+    for s in range(n_streams):
+        amp = 0.02 + 0.004 * s
+        psis = np.stack(
+            [amp * phase, -0.5 * amp * phase, 0.3 * amp * phase,
+             0.2 * amp * phase, -0.15 * amp * phase, 0.1 * amp * phase], -1
+        ).astype(np.float32)
+        frames, poses = render_sequence(cam, psis, seed=s)
+        seqs.append(frames)
+        gts.append(np.stack([p[1] for p in poses]))
+
+    ms = MultiStreamOdometry(mesh, n_streams, pcfg)
+    t0 = time.perf_counter()
+    for f in range(args.frames):
+        gray_b = np.stack([seqs[s][f][0] for s in range(n_streams)])
+        depth_b = np.stack([seqs[s][f][1] for s in range(n_streams)])
+        ms.process_batch(gray_b, depth_b, timestamp=f / 30.0)
+    wall = time.perf_counter() - t0
+
+    ates = []
+    for s, (R_est, t_est, stamps) in enumerate(ms.trajectories()):
+        ates.append(ate_rmse(np.asarray(t_est), gts[s]))
+        if args.out_dir:
+            import os
+
+            from rgbd_odometry_tpu.io.tum import write_trajectory
+
+            os.makedirs(args.out_dir, exist_ok=True)
+            path = os.path.join(args.out_dir, f"stream{s:02d}.txt")
+            write_trajectory(path, R_est, t_est, stamps)
+    print(
+        json.dumps(
+            {
+                "streams": n_streams,
+                "devices": n_dev,
+                "frames": args.frames,
+                "aggregate_frames_per_s": round(n_streams * args.frames / wall, 2),
+                "ate_rmse_per_stream": [round(float(a), 6) for a in ates],
+                "ate_rmse_max": round(float(max(ates)), 6),
+            }
+        )
+    )
+
+
 def cmd_bench(args):
     import bench
 
@@ -784,6 +885,24 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--levels", type=int, default=4)
     p.set_defaults(fn=cmd_dump)
+
+    p = sub.add_parser(
+        "multistream",
+        help="N lockstep odometry streams sharded over the device mesh "
+        "(pod-ready N-camera loop, parallel/streams.py)",
+    )
+    p.add_argument("--streams", type=int, default=0,
+                   help="stream count (default: device count, min 2); must "
+                   "be a multiple of the device count")
+    p.add_argument("--frames", type=int, default=12)
+    p.add_argument("--cam-scale", type=float, default=1.0)
+    p.add_argument("--iterations", default="18,6,4,3")
+    p.add_argument("--keyframe-every", type=int, default=5)
+    p.add_argument("--quality-triggers", action="store_true",
+                   help="enable per-stream Laplacian/visibility keyframe triggers")
+    p.add_argument("--out-dir", default=None,
+                   help="write per-stream TUM trajectories here")
+    p.set_defaults(fn=cmd_multistream)
 
     p = sub.add_parser("bench", help="batched-alignment throughput benchmark")
     p.add_argument("--batch", type=int, default=32)

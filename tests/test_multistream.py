@@ -207,3 +207,28 @@ def _cut_scene_frame(f, n_frames):
     psi = np.zeros(6, np.float32)
     (g, d), _, _ = render_pair(CAM, psi, seed=91 + f)
     return (g, d)
+
+
+def test_cli_multistream(tmp_path, capsys):
+    """The pod-ready N-camera loop through the CLI surface: 8 streams on the
+    8-device test mesh, per-stream ATE against exact GT, TUM files out."""
+    import json
+    import os
+
+    from rgbd_odometry_tpu.cli import main
+
+    od = str(tmp_path / "streams")
+    main(
+        [
+            "multistream", "--streams", "8", "--frames", "8",
+            "--cam-scale", "0.5", "--iterations", "8,5", "--out-dir", od,
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["streams"] == 8 and out["frames"] == 8
+    assert out["devices"] == len(jax.devices())
+    assert out["ate_rmse_max"] < 0.02
+    files = sorted(os.listdir(od))
+    assert files == [f"stream{s:02d}.txt" for s in range(8)]
+    traj = np.loadtxt(os.path.join(od, files[3]), comments="#")
+    assert traj.shape == (8, 8)  # t + xyz + quat per frame
