@@ -694,8 +694,6 @@ def cmd_multistream(args):
     from rgbd_odometry_tpu.parallel.mesh import make_mesh
     from rgbd_odometry_tpu.parallel.streams import MultiStreamOdometry
 
-    import jax
-
     mesh = make_mesh()
     n_dev = mesh.devices.size
     n_streams = args.streams or max(n_dev, 2)
