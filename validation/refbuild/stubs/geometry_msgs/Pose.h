@@ -1,0 +1,11 @@
+#ifndef MINI_GEOMETRY_MSGS_POSE_H
+#define MINI_GEOMETRY_MSGS_POSE_H
+namespace geometry_msgs {
+struct Point { double x = 0, y = 0, z = 0; };
+struct Quaternion { double x = 0, y = 0, z = 0, w = 1; };
+struct Pose {
+  Point position;
+  Quaternion orientation;
+};
+}  // namespace geometry_msgs
+#endif
