@@ -31,4 +31,12 @@ from rgbd_odometry_tpu.cli import main
 main(['dvo', '--source', 'xml:$XML', '--method', 'subgradient',
       '--iterations', '50,50,50,50', '--out', '$WORK/run/mine.txt'])
 " > "$WORK/run/mine.log" 2>&1
+python -c "
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from rgbd_odometry_tpu.cli import main
+main(['dvo', '--source', 'xml:$XML', '--method', 'gauss_newton',
+      '--iterations', '18,6,4,3', '--out', '$WORK/run/mine_lm.txt'])
+" > "$WORK/run/mine_lm.log" 2>&1
 python "$HERE/compare_crossval.py" "$WORK/run/poses/estPoses.txt" "$WORK/run/mine.txt" | tee "$WORK/crossval.json"
+python "$HERE/accuracy_vs_gt.py" "$WORK/run/poses/estPoses.txt" "$WORK/run/mine.txt" "$WORK/run/mine_lm.txt" "$FRAMES" | tee "$WORK/accuracy.json"
