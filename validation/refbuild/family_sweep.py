@@ -1,0 +1,117 @@
+"""Sequence-level accuracy sweep vs the ACTUAL upstream binary across motion
+families: for each trajectory family, render a synthetic sequence, dump it
+in the reference's XML format, run (a) the compiled reference binary,
+(b) this framework's parity mode, (c) this framework's production-LM mode
+on the identical frames, and report trajectory ATE against exact ground
+truth for all three.
+
+Usage: python family_sweep.py [n_frames] [workdir]
+Requires the binary to be buildable (validation/refbuild/build.sh).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(os.path.dirname(HERE))
+sys.path.insert(0, REPO)
+
+
+def family_psis(name: str, n: int, step: float = 0.003) -> np.ndarray:
+    """Absolute per-frame twists, ~the magnitude of the default source."""
+    ts = np.arange(n, dtype=np.float32)
+    z = np.zeros_like(ts)
+    if name == "mixed":
+        cols = [0.8 * ts, -0.5 * ts, 0.3 * ts, 0.15 * ts, -0.2 * ts, 0.1 * ts]
+    elif name == "mixed_flipped":
+        cols = [-0.8 * ts, 0.5 * ts, -0.3 * ts, -0.15 * ts, 0.2 * ts, -0.1 * ts]
+    elif name == "trans_dominant":
+        cols = [1.0 * ts, -0.7 * ts, 0.5 * ts, 0.02 * ts, -0.02 * ts, 0.01 * ts]
+    elif name == "rot_dominant":
+        cols = [0.1 * ts, -0.1 * ts, 0.05 * ts, 0.35 * ts, -0.3 * ts, 0.2 * ts]
+    else:
+        raise ValueError(name)
+    return (step * np.stack(cols, -1)).astype(np.float32)
+
+
+def main(n_frames: int, work: str) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rgbd_odometry_tpu_test_cache")
+
+    from rgbd_odometry_tpu.cli import main as cli
+    from rgbd_odometry_tpu.config import CameraConfig
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+    from rgbd_odometry_tpu.eval.ate import ate_rmse
+    from rgbd_odometry_tpu.io.calib import write_freiburg_pair
+    from rgbd_odometry_tpu.io.synthetic import render_sequence
+    from rgbd_odometry_tpu.io.tum import read_trajectory
+    from rgbd_odometry_tpu.io.xml_dump import write_frame_dump
+    import jax.numpy as jnp
+
+    cam = CameraConfig()
+    results = {}
+    for fam in ("mixed", "mixed_flipped", "trans_dominant", "rot_dominant"):
+        famdir = os.path.join(work, fam)
+        xml = os.path.join(famdir, "xml")
+        rundir = os.path.join(famdir, "run")
+        os.makedirs(os.path.join(rundir, "poses"), exist_ok=True)
+        os.makedirs(xml, exist_ok=True)
+
+        psis = family_psis(fam, n_frames)
+        frames, poses = render_sequence(cam, psis, seed=0)
+        t_gt = np.stack([p[1] for p in poses])[1:]
+        calib = write_freiburg_pair(xml, CameraConfig(
+            width=640, height=480, fx=525.0, fy=525.0, cx=319.5, cy=239.5))[1]
+        for i, (g, d) in enumerate(frames):
+            pyr = build_pyramid(jnp.asarray(g), jnp.asarray(d), 4)
+            write_frame_dump(xml, i, [np.asarray(x) for x in pyr.gray],
+                             [np.asarray(x) for x in pyr.depth])
+
+        # the upstream binary (frame dir is baked in at compile time)
+        res = subprocess.run(
+            [os.path.join(HERE, "build.sh"), xml, "0", str(n_frames - 1), "1", famdir],
+            capture_output=True, text=True, timeout=300)
+        assert res.returncode == 0, res.stderr[-2000:]
+        res = subprocess.run([os.path.join(famdir, "ref_dvo"), calib],
+                             cwd=rundir, capture_output=True, text=True, timeout=300)
+        assert res.returncode == 0, res.stderr[-2000:]
+        t_ref = np.loadtxt(os.path.join(rundir, "poses", "estPoses.txt"))[:, 4:]
+
+        # ours, both modes, same frames
+        parity = os.path.join(rundir, "mine_parity.txt")
+        lm = os.path.join(rundir, "mine_lm.txt")
+        cli(["dvo", "--source", f"xml:{xml}", "--method", "subgradient",
+             "--iterations", "50,50,50,50", "--out", parity])
+        cli(["dvo", "--source", f"xml:{xml}", "--method", "gauss_newton",
+             "--iterations", "18,6,4,3", "--out", lm])
+        _, t_p, _ = read_trajectory(parity)
+        _, t_l, _ = read_trajectory(lm)
+
+        row = {}
+        for name, t in (("reference_binary", t_ref),
+                        ("mine_parity", t_p[1:]),
+                        ("mine_production_lm", t_l[1:])):
+            n = min(len(t), len(t_gt))
+            row[name] = {
+                "ate_unaligned_mm": round(
+                    1000 * float(ate_rmse(t[:n], t_gt[:n], align=False)), 2),
+                "ate_aligned_mm": round(1000 * float(ate_rmse(t[:n], t_gt[:n])), 2),
+            }
+        results[fam] = row
+        print(fam, json.dumps(row), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    wd = sys.argv[2] if len(sys.argv) > 2 else "/tmp/famsweep"
+    out = main(n, wd)
+    print(json.dumps({"n_frames": n, "results": out}))
