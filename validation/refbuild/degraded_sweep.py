@@ -1,0 +1,108 @@
+"""Three-way robustness race under TUM-shaped sensor degradations: the
+compiled upstream binary, our parity mode, and our production LM on
+identical DEGRADED frames (mixed-motion 40-frame sequence), trajectory ATE
+vs exact ground truth per degradation config.
+
+Usage: python degraded_sweep.py [n_frames] [workdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(os.path.dirname(HERE))
+sys.path.insert(0, REPO)
+
+CONFIGS = {
+    "clean": {},
+    "tum_sensor": {"depth_quantize_tum": True, "depth_shadow_px": 6,
+                   "depth_dropout_blobs": 3},
+    "noisy": {"noise_sigma": 4.0, "depth_noise_mm": 10.0},
+    "illum_drift": {"illum_gain_per_frame": 0.01, "illum_bias_per_frame": 0.5},
+}
+
+
+def main(n_frames: int, work: str) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rgbd_odometry_tpu_test_cache")
+
+    from rgbd_odometry_tpu.cli import main as cli
+    from rgbd_odometry_tpu.config import CameraConfig
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+    from rgbd_odometry_tpu.eval.ate import ate_rmse
+    from rgbd_odometry_tpu.io.calib import write_freiburg_pair
+    from rgbd_odometry_tpu.io.synthetic import Degradations, render_sequence
+    from rgbd_odometry_tpu.io.tum import read_trajectory
+    from rgbd_odometry_tpu.io.xml_dump import write_frame_dump
+    import jax.numpy as jnp
+
+    cam = CameraConfig()
+    ts = np.arange(n_frames, dtype=np.float32)
+    psis = (0.003 * np.stack(
+        [0.8 * ts, -0.5 * ts, 0.3 * ts, 0.15 * ts, -0.2 * ts, 0.1 * ts], -1
+    )).astype(np.float32)
+
+    results = {}
+    for cfg_name, kw in CONFIGS.items():
+        d = os.path.join(work, cfg_name)
+        xml = os.path.join(d, "xml")
+        rundir = os.path.join(d, "run")
+        os.makedirs(os.path.join(rundir, "poses"), exist_ok=True)
+        os.makedirs(xml, exist_ok=True)
+
+        degrade = Degradations(**kw) if kw else None
+        frames, poses = render_sequence(cam, psis, seed=0, degrade=degrade)
+        t_gt = np.stack([p[1] for p in poses])[1:]
+        calib = write_freiburg_pair(xml, CameraConfig(
+            width=640, height=480, fx=525.0, fy=525.0, cx=319.5, cy=239.5))[1]
+        for i, (g, dep) in enumerate(frames):
+            pyr = build_pyramid(jnp.asarray(g), jnp.asarray(dep), 4)
+            write_frame_dump(xml, i, [np.asarray(x) for x in pyr.gray],
+                             [np.asarray(x) for x in pyr.depth])
+
+        res = subprocess.run(
+            [os.path.join(HERE, "build.sh"), xml, "0", str(n_frames - 1), "1", d],
+            capture_output=True, text=True, timeout=300)
+        assert res.returncode == 0, res.stderr[-2000:]
+        res = subprocess.run([os.path.join(d, "ref_dvo"), calib],
+                             cwd=rundir, capture_output=True, text=True, timeout=300)
+        assert res.returncode == 0, res.stderr[-2000:]
+        t_ref = np.loadtxt(os.path.join(rundir, "poses", "estPoses.txt"))[:, 4:]
+
+        parity = os.path.join(rundir, "mine_parity.txt")
+        lm = os.path.join(rundir, "mine_lm.txt")
+        cli(["dvo", "--source", f"xml:{xml}", "--method", "subgradient",
+             "--iterations", "50,50,50,50", "--out", parity])
+        cli(["dvo", "--source", f"xml:{xml}", "--method", "gauss_newton",
+             "--iterations", "18,6,4,3", "--out", lm])
+        _, t_p, _ = read_trajectory(parity)
+        _, t_l, _ = read_trajectory(lm)
+
+        row = {}
+        for name, t in (("reference_binary", t_ref),
+                        ("mine_parity", t_p[1:]),
+                        ("mine_production_lm", t_l[1:])):
+            n = min(len(t), len(t_gt))
+            row[name] = {
+                "ate_unaligned_mm": round(
+                    1000 * float(ate_rmse(t[:n], t_gt[:n], align=False)), 2),
+                "ate_aligned_mm": round(1000 * float(ate_rmse(t[:n], t_gt[:n])), 2),
+            }
+        results[cfg_name] = row
+        print(cfg_name, json.dumps(row), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    wd = sys.argv[2] if len(sys.argv) > 2 else "/tmp/degsweep"
+    out = main(n, wd)
+    print(json.dumps({"n_frames": n, "results": out}))
