@@ -15,7 +15,11 @@ OUT=${5:-/tmp/refbuild}
 EIGEN=$(python -c "import tensorflow, os; print(os.path.join(os.path.dirname(tensorflow.__file__), 'include'))" 2>/dev/null || echo /opt/venv/lib/python3.12/site-packages/tensorflow/include)
 
 mkdir -p "$OUT"
-g++ -O2 -std=gnu++14 -w \
+# NDEBUG=1 emulates a release build: Eigen/libc assertions off, so the
+# upstream boundary bug (SolveDVO.cpp:371 admits u==nCols, truncated to an
+# out-of-bounds index at :376-377/:446) silently reads out of bounds instead
+# of aborting — the behavior real users of a release catkin build get.
+g++ -O2 -std=gnu++14 -w ${NDEBUG:+-DNDEBUG} \
   -I"$HERE/stubs" -I"$EIGEN" -I"$REF/include" -I/usr/include/opencv4 \
   -include "$HERE/stubs/mini_eigen_float_index.h" \
   -DCV_DIST_L2=2 -DCV_DIST_MASK_PRECISE=0 \

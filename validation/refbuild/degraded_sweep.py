@@ -3,7 +3,14 @@ compiled upstream binary, our parity mode, and our production LM on
 identical DEGRADED frames (mixed-motion 40-frame sequence), trajectory ATE
 vs exact ground truth per degradation config.
 
-Usage: python degraded_sweep.py [n_frames] [workdir]
+The binary is built with assertions ON (the stub build's default). If it
+crashes — the upstream boundary bug at SolveDVO.cpp:371 admits a
+reprojection of exactly nCols/nRows, truncated to an out-of-bounds Eigen
+index at :376-377/:446, which depth noise makes reachable — the crash is
+recorded and the run is retried with a release-emulating NDEBUG=1 rebuild
+(silent out-of-bounds reads, what real users get from a release build).
+
+Usage: python degraded_sweep.py [n_frames] [workdir] [config ...]
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ CONFIGS = {
 }
 
 
-def main(n_frames: int, work: str) -> dict:
+def main(n_frames: int, work: str, only=()) -> dict:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -52,6 +59,8 @@ def main(n_frames: int, work: str) -> dict:
 
     results = {}
     for cfg_name, kw in CONFIGS.items():
+        if only and cfg_name not in only:
+            continue
         d = os.path.join(work, cfg_name)
         xml = os.path.join(d, "xml")
         rundir = os.path.join(d, "run")
@@ -68,13 +77,28 @@ def main(n_frames: int, work: str) -> dict:
             write_frame_dump(xml, i, [np.asarray(x) for x in pyr.gray],
                              [np.asarray(x) for x in pyr.depth])
 
-        res = subprocess.run(
-            [os.path.join(HERE, "build.sh"), xml, "0", str(n_frames - 1), "1", d],
-            capture_output=True, text=True, timeout=300)
-        assert res.returncode == 0, res.stderr[-2000:]
-        res = subprocess.run([os.path.join(d, "ref_dvo"), calib],
-                             cwd=rundir, capture_output=True, text=True, timeout=300)
-        assert res.returncode == 0, res.stderr[-2000:]
+        def run_binary(env_extra=None):
+            env = dict(os.environ, **(env_extra or {}))
+            r = subprocess.run(
+                [os.path.join(HERE, "build.sh"), xml, "0", str(n_frames - 1), "1", d],
+                capture_output=True, text=True, timeout=300, env=env)
+            assert r.returncode == 0, r.stderr[-2000:]
+            return subprocess.run([os.path.join(d, "ref_dvo"), calib],
+                                  cwd=rundir, capture_output=True, text=True,
+                                  timeout=600)
+
+        binary_note = None
+        res = run_binary()
+        if res.returncode != 0:
+            # upstream OOB bug tripped an assertion — emulate a release build
+            binary_note = ("assertion build crashed (upstream OOB, "
+                           "SolveDVO.cpp:371/:376/:446): "
+                           + (res.stderr.strip().splitlines()
+                              or [f"exit {res.returncode}"])[-1][:160]
+                           + " -- values below are the NDEBUG rebuild")
+            res = run_binary({"NDEBUG": "1"})
+            assert res.returncode == 0, (
+                "NDEBUG rebuild also crashed: " + res.stderr[-2000:])
         t_ref = np.loadtxt(os.path.join(rundir, "poses", "estPoses.txt"))[:, 4:]
 
         parity = os.path.join(rundir, "mine_parity.txt")
@@ -96,6 +120,8 @@ def main(n_frames: int, work: str) -> dict:
                     1000 * float(ate_rmse(t[:n], t_gt[:n], align=False)), 2),
                 "ate_aligned_mm": round(1000 * float(ate_rmse(t[:n], t_gt[:n])), 2),
             }
+        if binary_note:
+            row["reference_binary"]["note"] = binary_note
         results[cfg_name] = row
         print(cfg_name, json.dumps(row), flush=True)
     return results
@@ -104,5 +130,5 @@ def main(n_frames: int, work: str) -> dict:
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     wd = sys.argv[2] if len(sys.argv) > 2 else "/tmp/degsweep"
-    out = main(n, wd)
+    out = main(n, wd, only=tuple(sys.argv[3:]))
     print(json.dumps({"n_frames": n, "results": out}))
