@@ -21,6 +21,7 @@ mkdir -p "$OUT"
 # of aborting — the behavior real users of a release catkin build get.
 g++ -O2 -std=gnu++14 -w ${NDEBUG:+-DNDEBUG} \
   -I"$HERE/stubs" -I"$EIGEN" -I"$REF/include" -I/usr/include/opencv4 \
+  -include cassert \
   -include "$HERE/stubs/mini_eigen_float_index.h" \
   -DCV_DIST_L2=2 -DCV_DIST_MASK_PRECISE=0 \
   "-D__DATA_FROM_XML_FILES__=\"$XMLDIR\"" \
