@@ -109,6 +109,28 @@ def main():
     def exp_identity(p):
         return jnp.eye(3, dtype=p.dtype), p[:3] * 0.0
 
+    real_jr = edge_dvo._jacobian_residual
+
+    def run_variant2(name, cfg_v, chol=None, exp=None, jr=None):
+        edge_dvo._jacobian_residual = jr or real_jr
+        try:
+            return run_variant(name, cfg_v, chol=chol, exp=exp)
+        finally:
+            edge_dvo._jacobian_residual = real_jr
+
+    def const_psi(H, g):
+        return jnp.full((6,), 1e-5, g.dtype)
+
+    def fake_jr(R, t, ref, now, intr_l, cfg_v):
+        # all gathers dead; shapes preserved; a data dependence on the pose
+        # keeps the scan body from collapsing entirely
+        k = ref.pts3d.shape[0]
+        dtype = ref.pts3d.dtype
+        e = jnp.sum(R[0]) * 1e-12 + jnp.sum(t) * 1e-12
+        J = jnp.zeros((k, 6), dtype) + e
+        eps = jnp.zeros((k,), dtype) + e
+        return J, eps, eps + 1.0, jnp.ones((k,), bool), e + 1.0, jnp.asarray(1.0, dtype)
+
     res = {}
     res["base"] = run_variant("base", cfg)
     res["no_rot"] = run_variant("no_rot", make_cfg(rotationize=False))
@@ -117,6 +139,12 @@ def main():
     res["dead_chain"] = run_variant(
         "dead_chain", make_cfg(rotationize=False), chol=cheap_deadH, exp=exp_identity
     )
+    # psi constant: J, g, H and the gradient gathers all dead; the value
+    # gather + weights + energy survive (accept logic still fed)
+    res["const_psi"] = run_variant("const_psi", cfg, chol=const_psi)
+    # whole _jacobian_residual faked: bounds the scan/bookkeeping skeleton
+    # (plus per-level final full-res diagnostics, which still run real)
+    res["scan_only"] = run_variant2("scan_only", cfg, jr=fake_jr)
     # re-measure base at the end to expose same-session drift
     res["base_recheck"] = run_variant("base2", cfg)
     res["batch"] = batch
