@@ -155,6 +155,7 @@ def cmd_dvo(args):
                 iterations=tuple(int(x) for x in args.iterations.split(",")),
             ),
             keyframe=KeyframeConfig(force_every=args.keyframe_every),
+            motion_model=args.motion_model,
         )
         odo = EdgeDvoOdometry(cfg)
     viz = None
@@ -718,6 +719,7 @@ def cmd_multistream(args):
             enable_quality_triggers=args.quality_triggers,
             rollback_resolve=False,
         ),
+        motion_model=args.motion_model,
     )
 
     # distinct smooth out-and-back trajectory per stream
@@ -820,6 +822,7 @@ def main(argv=None):
     p.add_argument("--trace-dir", default=None, help="capture a jax.profiler device trace here")
     p.add_argument("--loop-close", action="store_true", help="detect loop closures between keyframes and refine the trajectory (pose-graph GN)")
     p.add_argument("--pipelined", action="store_true", help="speculative streaming: next frame dispatches off in-flight device outputs (bit-identical trajectory; helps when dispatch is asynchronous — see BASELINE.md)")
+    p.add_argument("--motion-model", default="hold", choices=["hold", "constant_velocity"], help="streaming warm-start model: hold the previous relative pose (reference behavior) or extrapolate it by the last inter-frame motion (device-composed, zero extra transfers)")
     p.set_defaults(fn=cmd_dvo)
 
     p = sub.add_parser("photometric", help="legacy dense DVO (rgbdSubsc node)")
@@ -900,6 +903,9 @@ def main(argv=None):
                    help="enable per-stream Laplacian/visibility keyframe triggers")
     p.add_argument("--out-dir", default=None,
                    help="write per-stream TUM trajectories here")
+    p.add_argument("--motion-model", default="hold",
+                   choices=["hold", "constant_velocity"],
+                   help="per-stream warm-start model (see dvo --motion-model)")
     p.set_defaults(fn=cmd_multistream)
 
     p = sub.add_parser("bench", help="batched-alignment throughput benchmark")

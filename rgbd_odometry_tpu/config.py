@@ -291,6 +291,19 @@ class PipelineConfig:
     keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
     # compute dtype for image ops ("float32"; bfloat16 available for edges/DT)
     dtype: str = "float32"
+    # streaming warm-start motion model: "hold" re-uses the previous relative
+    # pose (the reference's implicit behavior, /root/reference/src/SolveDVO.cpp
+    # :2117-2120 — cR/cT persist across loop() iterations); "constant_velocity"
+    # extrapolates it by the last inter-frame motion, composed ON DEVICE so the
+    # steady-state loop still pays zero extra host<->device transfers
+    motion_model: str = "hold"
+
+    def __post_init__(self):
+        if self.motion_model not in ("hold", "constant_velocity"):
+            raise ValueError(
+                f"motion_model must be 'hold' or 'constant_velocity', got "
+                f"{self.motion_model!r}"
+            )
 
     # ---- serialization ----------------------------------------------------
     def to_json(self) -> str:
@@ -315,4 +328,5 @@ class PipelineConfig:
             solver=SolverConfig(**sol),
             keyframe=KeyframeConfig(**d.get("keyframe", {})),
             dtype=d.get("dtype", "float32"),
+            motion_model=d.get("motion_model", "hold"),
         )

@@ -24,6 +24,13 @@ pyramids and a second divergent solve; use the single-stream driver for it.
 Per-stream warm-start poses stay device-resident between steps (the same
 RTT discipline as the single-stream driver); per-stream trajectories/GOP
 bookkeeping live on host, fed by one batched device_get per step.
+
+Both warm-start motion models of the single-stream driver are supported:
+"hold" (the reference's implicit behavior) and "constant_velocity"
+(per-stream device-composed extrapolation by the last inter-frame motion;
+streams whose pose basis changes at a keyframe refresh drop their velocity
+evidence for one frame via a masked select — same semantics as
+EdgeDvoOdometry._set_ref).
 """
 
 from __future__ import annotations
@@ -89,6 +96,10 @@ class MultiStreamOdometry:
         self._last_ref = np.zeros(n_streams, np.int64)
         self._ref_feats = None
         self._warm = None  # device (N,3,3),(N,3), sharded
+        # constant-velocity state: previous frame's per-stream relative pose
+        # (same layout as _warm). None = no velocity evidence -> hold.
+        self._cv = self.cfg.motion_model == "constant_velocity"
+        self._prev = None
         # host mirror of each stream's current relative pose (for the
         # divergence guard; kept in float64 like the single-stream driver)
         self._R = np.tile(np.eye(3), (n_streams, 1, 1))
@@ -131,6 +142,22 @@ class MultiStreamOdometry:
             in_shardings=(self._shard, self._shard, self._shard, self._shard),
             out_shardings=self._shard,
         )
+
+        if self._cv:
+            # constant-velocity variant: extrapolate each stream's warm start
+            # by its last inter-frame motion ON DEVICE (pure 3x3 algebra,
+            # vmapped — no extra dispatches or transfers on the hot path)
+            from rgbd_odometry_tpu.pipeline.odometry import cv_extrapolate
+
+            def _one_cv(feats, gray_pyr, R0, t0, Rp, tp):
+                Rw, tw = cv_extrapolate(R0, t0, Rp, tp)
+                return _one(feats, gray_pyr, Rw, tw)
+
+            self._step_cv = jax.jit(
+                jax.vmap(_one_cv),
+                in_shardings=(self._shard,) * 6,
+                out_shardings=self._shard,
+            )
 
         def _merge(old_feats, new_feats, mask):
             # per-stream select: flagged streams take the freshly-extracted
@@ -190,9 +217,17 @@ class MultiStreamOdometry:
                 )
             return self._global_poses()
 
-        R_d, t_d, finest_d, edges_d = self._step(
-            self._ref_feats, pyr.gray, self._warm[0], self._warm[1]
-        )
+        dispatch_warm = self._warm
+        if self._cv:
+            prev = self._prev if self._prev is not None else self._warm
+            R_d, t_d, finest_d, edges_d = self._step_cv(
+                self._ref_feats, pyr.gray,
+                self._warm[0], self._warm[1], prev[0], prev[1],
+            )
+        else:
+            R_d, t_d, finest_d, edges_d = self._step(
+                self._ref_feats, pyr.gray, self._warm[0], self._warm[1]
+            )
         kf = self.cfg.keyframe
         # ONE batched device->host pull for all streams' control decisions
         if kf.enable_quality_triggers:
@@ -264,6 +299,20 @@ class MultiStreamOdometry:
             self._warm = self._put(
                 (jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
             )
+        if self._cv:
+            # next step's velocity source is the warm pair THIS step
+            # dispatched from (frame n-1's pose). Streams whose pose basis
+            # changed (keyframe refresh) or that diverged drop their
+            # evidence: prev := warm -> extrapolation degenerates to hold
+            # for exactly one frame (same semantics as the single-stream
+            # driver's _set_ref / divergence reset).
+            drop = refresh | ~finite
+            if drop.any():
+                self._prev = self._merge(
+                    dispatch_warm, self._warm, self._put(jnp.asarray(drop))
+                )
+            else:
+                self._prev = dispatch_warm
         return self._global_poses()
 
     def _global_poses(self) -> Tuple[np.ndarray, np.ndarray]:

@@ -75,6 +75,26 @@ def residual_histogram(epsilons: np.ndarray, valid: np.ndarray, bins: int = 260)
     return h / max(len(e), 1)
 
 
+def cv_extrapolate(R0, t0, Rp, tp):
+    """Constant-velocity warm-start extrapolation, in the solver's pose
+    parameterization p_now = R (p_ref - t).
+
+    Given the current relative pose T0 = (R0, t0) and the PREVIOUS frame's
+    relative pose Tp = (Rp, tp) (both w.r.t. the same reference keyframe),
+    the last inter-frame motion is D = T0 Tp^-1 and the extrapolated warm
+    start is D T0, which in (R, t) form is
+
+        R_warm = R0 Rp^T R0,   t_warm = t0 + R0^T Rp (t0 - tp).
+
+    With Tp == T0 this degenerates to (R0, t0) numerically-but-not-bitwise;
+    the driver therefore keeps the plain "hold" step as a separate graph and
+    only routes through this one when motion_model="constant_velocity".
+    """
+    Rw = R0 @ (Rp.T @ R0)
+    tw = t0 + R0.T @ (Rp @ (t0 - tp))
+    return Rw, tw
+
+
 def _build_entry_points(camera_cfg, scfg, max_pts):
     """Build the driver's jitted callables for one camera/solver config.
 
@@ -117,7 +137,21 @@ def _build_entry_points(camera_cfg, scfg, max_pts):
         R, t, diags = edge_dvo.solve_pyramid(feats, tgts, intr, scfg, R0, t0)
         return R, t, diags[0], tgts
 
-    return extract_ref, extract_ref_from_edges, prepare_now, solve, jax.jit(_step)
+    # constant-velocity variant: the warm start is extrapolated ON DEVICE
+    # from the previous two relative poses — the steady-state loop still
+    # performs one dispatch and zero host->device uploads per frame
+    def _step_cv(feats, gray_pyr, R0, t0, Rp, tp):
+        Rw, tw = cv_extrapolate(R0, t0, Rp, tp)
+        return _step(feats, gray_pyr, Rw, tw)
+
+    return (
+        extract_ref,
+        extract_ref_from_edges,
+        prepare_now,
+        solve,
+        jax.jit(_step),
+        jax.jit(_step_cv),
+    )
 
 
 class EdgeDvoOdometry:
@@ -143,6 +177,13 @@ class EdgeDvoOdometry:
         # steady-state loop must never re-upload the pose it just computed.
         # None = out of sync; the next step pays one upload.
         self._warm_dev = None
+        # constant-velocity state: device copy of the PREVIOUS frame's
+        # relative pose (w.r.t. the current ref), and the warm pair the
+        # in-flight dispatch used (becomes _prevpose_dev once it resolves).
+        # None = no velocity evidence yet; the step falls back to "hold".
+        self._cv = self.cfg.motion_model == "constant_velocity"
+        self._prevpose_dev = None
+        self._dispatch_warm = None
 
         pyr = self.cfg.pyramid
         max_pts = pyr.max_points[: pyr.num_levels]
@@ -152,6 +193,7 @@ class EdgeDvoOdometry:
             self._prepare_now,
             self._solve,
             self._step,
+            self._step_cv,
         ) = _build_entry_points(self.cfg.camera, self.cfg.solver, max_pts)
 
     # ------------------------------------------------------------------
@@ -193,6 +235,7 @@ class EdgeDvoOdometry:
             self._t = self._t + self._R @ np.asarray(dt, np.float64)
             self._R = self._R @ np.asarray(dR, np.float64)
             self._warm_dev = None  # host-side compose -> re-upload once
+            self._prevpose_dev = None  # the prior IS the velocity source
 
         if self._frame_num == 0:
             return self._bootstrap(pyr, timestamp)
@@ -203,12 +246,24 @@ class EdgeDvoOdometry:
                 jnp.asarray(self._R, jnp.float32),
                 jnp.asarray(self._t, jnp.float32),
             )
-        R_d, t_d, finest_d, targets = self._step(
-            self._ref_feats,
-            pyr.gray,
-            self._warm_dev[0],
-            self._warm_dev[1],
-        )
+        self._dispatch_warm = self._warm_dev
+        if self._cv:
+            prev = self._prevpose_dev or self._warm_dev
+            R_d, t_d, finest_d, targets = self._step_cv(
+                self._ref_feats,
+                pyr.gray,
+                self._warm_dev[0],
+                self._warm_dev[1],
+                prev[0],
+                prev[1],
+            )
+        else:
+            R_d, t_d, finest_d, targets = self._step(
+                self._ref_feats,
+                pyr.gray,
+                self._warm_dev[0],
+                self._warm_dev[1],
+            )
         return self._resolve(
             pyr, timestamp, self._frame_num, R_d, t_d, finest_d, targets, t_start
         )
@@ -277,6 +332,12 @@ class EdgeDvoOdometry:
             eps = finest.final_epsilons
             b_cap = residual_b_cap(eps, int(finest.num_points))
             vis = float(finest.visible_ratio)
+            # the new ref IS frame n-1, whose relative pose is identity — the
+            # inter-frame velocity estimate survives the rollback
+            self._dispatch_warm = (
+                jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros(3, jnp.float32),
+            )
         elif reason != 0 and not kf_cfg.rollback_resolve:
             # __OLD__REF_UPDATE naive variant (:2166-2191): current frame
             # becomes the keyframe with the (possibly bad) estimate kept.
@@ -300,10 +361,14 @@ class EdgeDvoOdometry:
         if not diverged:
             self._R = R_np
             self._t = t_np
-            # next frame warm-starts from the device copy we already hold
+            # next frame warm-starts from the device copy we already hold;
+            # the warm pair this frame dispatched FROM is its predecessor's
+            # resolved pose — exactly the constant-velocity "previous pose"
+            self._prevpose_dev = self._dispatch_warm
             self._warm_dev = (R_d, t_d)
         else:
             self._warm_dev = None
+            self._prevpose_dev = None
         self.gop.push_ordinary(frame_num, self._R, self._t, timestamp)
         self._record(frame_num, solve_ms, finest, b_cap, vis, reason, rolled_back, diverged)
         self._prev_pyr = pyr
@@ -337,9 +402,16 @@ class EdgeDvoOdometry:
 
         Yields the global pose (R, t) per frame, in order.
         """
-        pend = None  # (pyr, ts, fnum, R_d, t_d, finest_d, targets, t0, warm0)
+        pend = None  # (pyr, ts, fnum, R_d, t_d, finest_d, targets, t0, warm)
 
-        def _dispatch(pyr, warm):
+        def _dispatch(pyr, warm, prev):
+            # `prev` is the warm pair of the frame BEFORE the one warm-
+            # starting this dispatch — the constant-velocity "previous pose".
+            if self._cv:
+                p = prev if prev is not None else warm
+                return self._step_cv(
+                    self._ref_feats, pyr.gray, warm[0], warm[1], p[0], p[1]
+                )
             return self._step(self._ref_feats, pyr.gray, warm[0], warm[1])
 
         for pyr, ts in pyramids:
@@ -358,16 +430,19 @@ class EdgeDvoOdometry:
                     )
                 warm = self._warm_dev
                 t0 = time.perf_counter()
-                handles = _dispatch(pyr, warm)
-                pend = (pyr, ts, fnum, *handles, t0, warm[0])
+                handles = _dispatch(pyr, warm, self._prevpose_dev)
+                pend = (pyr, ts, fnum, *handles, t0, warm)
                 continue
             # speculative dispatch for THIS frame chained off the pending
-            # frame's un-resolved device outputs
+            # frame's un-resolved device outputs; its "previous pose" is the
+            # warm pair the pending frame itself dispatched from — the same
+            # value the sequential loop would use once that frame resolves
             spec_warm = (pend[3], pend[4])
             t0 = time.perf_counter()
-            handles = _dispatch(pyr, spec_warm)
+            handles = _dispatch(pyr, spec_warm, pend[8])
             # resolve the pending frame (overlaps the speculative compute)
-            p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0, _ = pend
+            p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0, p_warm = pend
+            self._dispatch_warm = p_warm
             pose = self._resolve(p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0)
             chain_intact = (
                 self._warm_dev is not None and self._warm_dev[0] is p_R
@@ -381,12 +456,13 @@ class EdgeDvoOdometry:
                         jnp.asarray(self._t, jnp.float32),
                     )
                 t0 = time.perf_counter()
-                handles = _dispatch(pyr, self._warm_dev)
+                handles = _dispatch(pyr, self._warm_dev, self._prevpose_dev)
                 spec_warm = self._warm_dev
-            pend = (pyr, ts, fnum, *handles, t0, spec_warm[0])
+            pend = (pyr, ts, fnum, *handles, t0, spec_warm)
             yield pose
         if pend is not None:
-            p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0, _ = pend
+            p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0, p_warm = pend
+            self._dispatch_warm = p_warm
             yield self._resolve(p_pyr, p_ts, p_fnum, p_R, p_t, p_fin, p_tg, p_t0)
 
     # ------------------------------------------------------------------
@@ -406,6 +482,10 @@ class EdgeDvoOdometry:
         self._t = np.zeros(3)
         # identity is built on-device (no host transfer)
         self._warm_dev = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        # a ref switch re-bases the relative poses; velocity evidence in the
+        # old basis is dropped (one-frame "hold" hiccup). The rollback path
+        # restores it right after via _dispatch_warm = identity.
+        self._prevpose_dev = None
 
     def _record(self, frame_num, solve_ms, finest, b_cap, vis, reason, rolled_back, diverged=False):
         self.metrics.append(

@@ -39,6 +39,11 @@ def save_odometry(odo: "EdgeDvoOdometry", path: str) -> None:
     }
     arrays["rel_R"] = np.asarray(odo._R)
     arrays["rel_t"] = np.asarray(odo._t)
+    # constant-velocity state: previous frame's relative pose (f32 device
+    # values, saved exactly) so a resumed run extrapolates identically
+    if odo._prevpose_dev is not None:
+        arrays["prev_rel_R"] = np.asarray(odo._prevpose_dev[0])
+        arrays["prev_rel_t"] = np.asarray(odo._prevpose_dev[1])
     arrays["gop_R"] = (
         np.stack([e.R for e in odo.gop.elements]) if odo.gop.elements else np.zeros((0, 3, 3))
     )
@@ -80,6 +85,11 @@ def load_odometry(path: str) -> "EdgeDvoOdometry":
     odo._last_ref_frame = int(meta["last_ref_frame"])
     odo._R = data["rel_R"]
     odo._t = data["rel_t"]
+    if "prev_rel_R" in data:
+        odo._prevpose_dev = (
+            jnp.asarray(data["prev_rel_R"]),
+            jnp.asarray(data["prev_rel_t"]),
+        )
     odo.gop.last_key_R = data["last_key_R"]
     odo.gop.last_key_t = data["last_key_t"]
     for i, e in enumerate(meta["gop"]):
