@@ -23,6 +23,7 @@ from rgbd_odometry_tpu.config import (
     PyramidConfig,
     KeyframeConfig,
     PipelineConfig,
+    RelocalizeConfig,
 )
 
 __version__ = "0.1.0"
@@ -35,6 +36,7 @@ _LAZY = {
     "FusedOdometry": ("rgbd_odometry_tpu.pipeline.fused", "FusedOdometry"),
     "FeatureVo": ("rgbd_odometry_tpu.pipeline.feature_vo", "FeatureVo"),
     "LoopCloser": ("rgbd_odometry_tpu.pipeline.loop_closure", "LoopCloser"),
+    "Relocalizer": ("rgbd_odometry_tpu.pipeline.relocalize", "Relocalizer"),
     "refine_pose_graph": ("rgbd_odometry_tpu.solvers.pose_graph", "refine_pose_graph"),
     "Intrinsics": ("rgbd_odometry_tpu.core.camera", "Intrinsics"),
     "FrameFeeder": ("rgbd_odometry_tpu.pipeline.feeder", "FrameFeeder"),
@@ -62,6 +64,7 @@ __all__ = [
     "PyramidConfig",
     "KeyframeConfig",
     "PipelineConfig",
+    "RelocalizeConfig",
     "__version__",
     *sorted(_LAZY),
 ]

@@ -157,6 +157,12 @@ def cmd_dvo(args):
             keyframe=KeyframeConfig(force_every=args.keyframe_every),
             motion_model=args.motion_model,
         )
+        if args.relocalize:
+            from rgbd_odometry_tpu.config import RelocalizeConfig
+
+            cfg = dataclasses.replace(
+                cfg, relocalize=RelocalizeConfig(enabled=True)
+            )
         odo = EdgeDvoOdometry(cfg)
     viz = None
     if args.viz_dir:
@@ -243,6 +249,12 @@ def cmd_dvo(args):
         save_odometry(odo, args.checkpoint)
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
     print(f"avg solve: {odo.average_solve_ms():.2f} ms over {n} frames", file=sys.stderr)
+    if odo._reloc is not None:
+        print(
+            f"relocalizer: {len(odo._reloc)} keyframes in database, "
+            f"{odo._reloc.successes}/{odo._reloc.attempts} recoveries",
+            file=sys.stderr,
+        )
     R, t, ts = odo.trajectory()
     if closer is not None and len(t) > 1:
         # drift-correcting refinement over the detected loop closures
@@ -823,6 +835,7 @@ def main(argv=None):
     p.add_argument("--loop-close", action="store_true", help="detect loop closures between keyframes and refine the trajectory (pose-graph GN)")
     p.add_argument("--pipelined", action="store_true", help="speculative streaming: next frame dispatches off in-flight device outputs (bit-identical trajectory; helps when dispatch is asynchronous — see BASELINE.md)")
     p.add_argument("--motion-model", default="hold", choices=["hold", "constant_velocity"], help="streaming warm-start model: hold the previous relative pose (reference behavior) or extrapolate it by the last inter-frame motion (device-composed, zero extra transfers)")
+    p.add_argument("--relocalize", action="store_true", help="recover from tracking loss: healthy keyframes feed a device-resident appearance database; after consecutive lost frames the trajectory re-anchors at the best PnP-verified database pose (beyond-reference)")
     p.set_defaults(fn=cmd_dvo)
 
     p = sub.add_parser("photometric", help="legacy dense DVO (rgbdSubsc node)")

@@ -282,6 +282,53 @@ class KeyframeConfig:
 
 
 @dataclass(frozen=True)
+class RelocalizeConfig:
+    """Relocalization after tracking loss (pipeline/relocalize.py).
+
+    Beyond the reference: `loop()` has no recovery path — its quality
+    triggers keep re-seating the reference keyframe on degraded frames
+    (/root/reference/src/SolveDVO.cpp:2122-2160) while the pose integrates
+    junk. When enabled, healthy tracking keyframes are registered (with
+    their global poses) in a device-resident appearance database; after
+    `trigger_consecutive` lost frames the driver matches the current frame
+    against the whole database in one batched dispatch and re-anchors the
+    trajectory at the best geometrically-verified pose.
+    """
+
+    enabled: bool = False
+    # tracking-loss detector: a frame is lost when the solve's visibility or
+    # reprojected-point count collapses (read every frame, independent of
+    # KeyframeConfig.enable_quality_triggers) or the estimate is non-finite
+    trigger_consecutive: int = 3
+    lost_visible_ratio: float = 0.5
+    lost_min_points: int = 40
+    # Laplacian b-hat above this is a lost frame. Visibility alone misses
+    # occlusion/blackout (stale ref points still project in-bounds — into
+    # garbage); the residual magnitude is the reliable signal there. Units
+    # follow the solver's residual units (normalized DT 0..255 by default;
+    # pixels when normalize_dt=False) — same units as
+    # KeyframeConfig.laplacian_b_thresh, deliberately far above it
+    lost_b_cap: float = 10.0
+    # appearance matching + geometric verification (pipeline/kf_matcher.py)
+    max_keypoints: int = 384
+    min_matches: int = 30  # descriptor matches to consider a candidate
+    min_inliers: int = 20  # PnP inliers to accept a recovery
+    max_candidates: int = 4  # verification rounds per attempt (top-N by matches)
+    ransac_hypotheses: int = 64
+    epipolar_threshold_px: float = 3.0
+    # absolute floor on the descriptor-match distance gate: recovery queries
+    # are often near-duplicates of a stored keyframe, where the reference's
+    # relative 3*min_d gate degenerates (ops/features.match docstring)
+    dist_gate_floor: float = 0.2
+    min_depth_mm: float = 100.0
+    slot_capacity: int = 64  # initial database capacity (doubles when full)
+
+    def __post_init__(self):
+        if self.trigger_consecutive < 1:
+            raise ValueError("trigger_consecutive must be >= 1")
+
+
+@dataclass(frozen=True)
 class PipelineConfig:
     """Whole-pipeline configuration bundle."""
 
@@ -289,6 +336,7 @@ class PipelineConfig:
     pyramid: PyramidConfig = field(default_factory=PyramidConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    relocalize: RelocalizeConfig = field(default_factory=RelocalizeConfig)
     # compute dtype for image ops ("float32"; bfloat16 available for edges/DT)
     dtype: str = "float32"
     # streaming warm-start motion model: "hold" re-uses the previous relative
@@ -327,6 +375,7 @@ class PipelineConfig:
             pyramid=PyramidConfig(**pyr),
             solver=SolverConfig(**sol),
             keyframe=KeyframeConfig(**d.get("keyframe", {})),
+            relocalize=RelocalizeConfig(**d.get("relocalize", {})),
             dtype=d.get("dtype", "float32"),
             motion_model=d.get("motion_model", "hold"),
         )

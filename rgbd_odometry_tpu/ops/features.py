@@ -120,12 +120,27 @@ class Matches(NamedTuple):
     num_good: jnp.ndarray  # () int32
 
 
-def match(ref: Keypoints, now: Keypoints, dist_gate_factor: float = 3.0, ratio: float = 0.9) -> Matches:
+def match(
+    ref: Keypoints,
+    now: Keypoints,
+    dist_gate_factor: float = 3.0,
+    ratio: float = 0.9,
+    dist_gate_floor: float = 1e-3,
+) -> Matches:
     """Mutual-nearest matching with the reference's distance gate.
 
     Distance matrix on the MXU; `good` requires (a) mutual nearest neighbour,
-    (b) Lowe-style ratio vs the 2nd neighbour, (c) d <= max(3*min_d, eps) —
+    (b) Lowe-style ratio vs the 2nd neighbour, (c) d <= max(3*min_d, floor) —
     the reference's fallback filter (src/PnPOdometry.cpp:472-492).
+
+    The relative gate degenerates when the two frames are NEARLY IDENTICAL:
+    one near-perfect match drives min_d toward 0 and 3*min_d then rejects
+    every other true match (measured on near-duplicate synthetic frames:
+    min_d 0.024 -> 8 of ~45 true matches pass). `dist_gate_floor` bounds the
+    gate from below; the default 1e-3 preserves the reference semantics,
+    relocalization queries (where a near-duplicate IS the success case) use
+    ~0.2 — true-match patch distances cluster under ~0.15, outliers above
+    ~0.45 on unit-norm descriptors.
     """
     # squared L2 distance via inner products (descriptors are unit-norm)
     sim = jnp.einsum("id,jd->ij", now.desc, ref.desc, precision=_PREC)
@@ -144,7 +159,7 @@ def match(ref: Keypoints, now: Keypoints, dist_gate_factor: float = 3.0, ratio: 
 
     dist = jnp.sqrt(best_d)
     min_d = jnp.min(jnp.where(now.valid, dist, jnp.inf))
-    gate = dist <= jnp.maximum(dist_gate_factor * min_d, 1e-3)
+    gate = dist <= jnp.maximum(dist_gate_factor * min_d, dist_gate_floor)
     ratio_ok = best_d <= (ratio * ratio) * second_d
     good = now.valid & mutual & gate & ratio_ok & (best_d < big * 0.5)
     return Matches(

@@ -84,6 +84,14 @@ class MultiStreamOdometry:
                 "desynchronizes the lockstep; use EdgeDvoOdometry per "
                 "stream when it is required."
             )
+        if self.cfg.relocalize.enabled:
+            raise ValueError(
+                "MultiStreamOdometry does not support relocalization: a "
+                "recovery re-anchor is a per-stream divergent control path "
+                "(host-driven candidate verification) that desynchronizes "
+                "the lockstep. Use EdgeDvoOdometry per stream when "
+                "relocalization is required."
+            )
         n_dev = mesh.devices.size
         if n_streams % n_dev:
             raise ValueError(f"n_streams={n_streams} not a multiple of mesh size {n_dev}")

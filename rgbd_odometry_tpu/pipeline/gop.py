@@ -24,6 +24,9 @@ REASON_LAPLACIAN_THRESH = 2
 REASON_LOW_VISIBILITY = 3
 REASON_TOO_FEW_REPROJECTIONS = 4
 REASON_PERIODIC = 5
+# beyond-reference: trajectory re-anchored by the relocalizer after
+# tracking loss (pipeline/relocalize.py)
+REASON_RELOCALIZED = 6
 
 
 @dataclass
@@ -62,6 +65,18 @@ class Gop:
         """pushAsKeyFrame: also advances the last-keyframe pose
         (/root/reference/src/GOP.cpp:162-186)."""
         g_R, g_t = self._compose(rel_R, rel_t)
+        self.elements.append(GopElement(frame_num, True, reason, g_R, g_t, timestamp))
+        self.last_key_R = g_R
+        self.last_key_t = g_t
+
+    def push_keyframe_absolute(
+        self, frame_num: int, reason: int, R: np.ndarray, t: np.ndarray, timestamp: float = 0.0
+    ):
+        """Push a keyframe at a directly-specified GLOBAL pose (relocalizer
+        re-anchor: the pose comes from PnP against a stored keyframe, not
+        from composing onto the drifting last-keyframe state)."""
+        g_R = np.asarray(R, np.float64).copy()
+        g_t = np.asarray(t, np.float64).copy()
         self.elements.append(GopElement(frame_num, True, reason, g_R, g_t, timestamp))
         self.last_key_R = g_R
         self.last_key_t = g_t

@@ -9,23 +9,26 @@ RANSAC PnP (solvers/pnp.py); the resulting loop-closure edges feed the
 batched pose-graph Gauss-Newton (solvers/pose_graph.py), which
 redistributes accumulated drift over the whole trajectory.
 
-Host drives only candidate selection; detection, matching, geometric
-verification and refinement are all jitted/vmapped device code.
+The keyframe store / batched matching / geometric verification live in
+pipeline/kf_matcher.KeyframeMatcher (shared with the relocalizer); this
+module adds candidate policy, closure-edge bookkeeping and the pose-graph
+refinement entry point.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rgbd_odometry_tpu.core.camera import Intrinsics
-from rgbd_odometry_tpu.ops import features as feat
-from rgbd_odometry_tpu.ops.epipolar import ransac_fundamental_filter
-from rgbd_odometry_tpu.solvers import pnp
+from rgbd_odometry_tpu.pipeline.kf_matcher import (
+    KeyframeMatcher,
+    MatcherConfig,
+    StoredKeyframe,
+)
 from rgbd_odometry_tpu.solvers.pose_graph import (
     PoseGraphEdges,
     concat_edges,
@@ -50,12 +53,7 @@ class LoopClosureConfig:
     epipolar_threshold_px: float = 3.0
     edge_weight: float = 3.0  # closures weigh more than single odometry steps
     min_depth_mm: float = 100.0  # usable-keypoint depth gate (matches FeatureVo)
-    # initial keyframe-slot capacity: every new keyframe matches against ALL
-    # stored ones in ONE vmapped MXU pass (static shape -> one dispatch; a
-    # per-pair host loop costs a dispatch RTT per old keyframe). When the
-    # store fills, the slot buffer DOUBLES — one extra compile of the batched
-    # matcher per doubling, and every keyframe stays matchable forever (no
-    # silent closure loss past a fixed cap)
+    # initial keyframe-slot capacity (doubles when full; see KeyframeMatcher)
     slot_capacity: int = 64
 
 
@@ -73,83 +71,36 @@ class LoopCloser:
     def __init__(self, intr: Intrinsics, config: LoopClosureConfig | None = None, seed: int = 0):
         self.intr = intr
         self.cfg = config or LoopClosureConfig()
-        self._key = jax.random.PRNGKey(seed)
+        self.matcher = KeyframeMatcher(
+            intr,
+            MatcherConfig(
+                max_keypoints=self.cfg.max_keypoints,
+                epipolar_threshold_px=self.cfg.epipolar_threshold_px,
+                ransac_hypotheses=self.cfg.ransac_hypotheses,
+                min_depth_mm=self.cfg.min_depth_mm,
+                slot_capacity=self.cfg.slot_capacity,
+            ),
+            seed=seed,
+        )
         self.keyframes: List[KeyframeRecord] = []
         self.closures: List[Tuple[int, int, np.ndarray, np.ndarray, int]] = []
         self.skipped_candidates: int = 0  # dropped by max_candidates_per_keyframe
-        # fixed-capacity stacked keyframe store (device-resident): slot s
-        # holds keyframe s's Keypoints; unused slots are all-invalid and
-        # fall out of the batched matching naturally
-        self._slots: Optional[object] = None  # feat.Keypoints with (S, ...) leaves
-        self._detect = jax.jit(
-            lambda g: feat.detect_and_describe(g, self.cfg.max_keypoints)
-        )
-        # ONE dispatch matches the new keyframe against every stored slot
-        self._match_all = jax.jit(jax.vmap(feat.match, in_axes=(0, None)))
-        self._match = jax.jit(feat.match)
-        self._epi = jax.jit(
-            lambda k, uv1, uv2, v: ransac_fundamental_filter(
-                k, uv1, uv2, v, threshold_px=self.cfg.epipolar_threshold_px
-            )
-        )
-
-        def _solve(key, obj, imn, valid):
-            return pnp.ransac_pnp(
-                key, obj, imn, valid, num_hypotheses=self.cfg.ransac_hypotheses
-            )
-
-        self._pnp = jax.jit(_solve)
-
-    def _empty_slots(self, kps_like):
-        s = self.cfg.slot_capacity
-        return jax.tree_util.tree_map(
-            lambda x: jnp.zeros((s,) + x.shape, x.dtype), kps_like
-        )
 
     def _num_slots(self) -> int:
-        return jax.tree_util.tree_leaves(self._slots)[0].shape[0]
-
-    def _store_slot(self, idx: int, kps):
-        if idx == self._num_slots():
-            # full: double the buffer (new slots all-invalid). One recompile
-            # of the batched matcher per doubling; log2(total/initial) ever.
-            self._slots = jax.tree_util.tree_map(
-                lambda buf: jnp.concatenate([buf, jnp.zeros_like(buf)], axis=0),
-                self._slots,
-            )
-        self._slots = jax.tree_util.tree_map(
-            lambda buf, x: buf.at[idx].set(x), self._slots, kps
-        )
+        return self.matcher.num_slots()
 
     # ------------------------------------------------------------------
-    def _backproject(self, kps, depth_mm: jnp.ndarray):
-        h, w = depth_mm.shape
-        ui = jnp.clip(kps.uv[:, 0].astype(jnp.int32), 0, w - 1)
-        vi = jnp.clip(kps.uv[:, 1].astype(jnp.int32), 0, h - 1)
-        z_mm = jnp.take(depth_mm.reshape(-1), vi * w + ui)
-        valid = kps.valid & (z_mm > self.cfg.min_depth_mm)
-        z = z_mm / 1000.0
-        x = z * (kps.uv[:, 0] - self.intr.cx) / self.intr.fx
-        y = z * (kps.uv[:, 1] - self.intr.cy) / self.intr.fy
-        return jnp.stack([x, y, z], -1), valid
-
     def add_keyframe(self, node: int, gray: np.ndarray, depth_mm: np.ndarray) -> List[int]:
         """Register keyframe at trajectory index `node`; returns the nodes of
         any loop closures detected against previous keyframes."""
-        g = jnp.asarray(gray, jnp.float32)
-        d = jnp.asarray(depth_mm, jnp.float32)
-        kps = self._detect(g)
-        pts3d, pvalid = self._backproject(kps, d)
-        rec = KeyframeRecord(node=node, kps=kps, pts3d=pts3d, pts_valid=pvalid)
+        sk = self.matcher.describe(gray, depth_mm)
 
         found = []
-        if self.keyframes:
-            # one batched dispatch against every stored slot; unused slots
-            # are all-invalid -> zero good matches
-            all_m = self._match_all(self._slots, kps)
-            goods = np.asarray(all_m.num_good)
-        # every stored keyframe is a candidate — the slot store grows, so
-        # closures onto late keyframes are never silently lost
+        # one batched dispatch against every stored slot; unused slots are
+        # all-invalid -> zero good matches. Every stored keyframe is a
+        # candidate — the slot store grows, so closures onto late keyframes
+        # are never silently lost
+        all_m, goods = self.matcher.match_all(sk.kps)
         candidates = [
             s
             for s, old in enumerate(self.keyframes)
@@ -163,38 +114,20 @@ class LoopCloser:
             )
             candidates = candidates[: self.cfg.max_candidates_per_keyframe]
         for s in candidates:
-            old = self.keyframes[s]
-            m = jax.tree_util.tree_map(lambda x: x[s], all_m)
-            uv_old = jnp.take(old.kps.uv, m.ref_idx, axis=0)
-            valid = m.good & kps.valid & jnp.take(old.kps.valid, m.ref_idx, axis=0)
-            self._key, ek = jax.random.split(self._key)
-            epi = self._epi(ek, kps.uv, uv_old, valid)
-            if int(epi.num_inliers) < self.cfg.min_matches:
-                continue
-            # relative pose: old keyframe's 3D points seen in the NEW frame
-            obj = jnp.take(old.pts3d, m.ref_idx, axis=0)
-            ov = jnp.take(old.pts_valid, m.ref_idx, axis=0)
-            imn = pnp.normalize_image_points(kps.uv, self.intr)
-            self._key, pk = jax.random.split(self._key)
-            res = self._pnp(pk, obj, imn, epi.inliers & ov)
-            if int(res.num_inliers) < self.cfg.min_inliers:
-                continue
-            # ransac_pnp returns the NEW camera's pose in the OLD keyframe's
-            # frame: exactly the old->new relative-pose edge
-            self.closures.append(
-                (
-                    old.node,
-                    node,
-                    np.asarray(res.R, np.float64),
-                    np.asarray(res.t, np.float64),
-                    int(res.num_inliers),
-                )
+            v = self.matcher.verify(
+                s, sk.kps, all_m, self.cfg.min_matches, self.cfg.min_inliers
             )
+            if v is None:
+                continue
+            # the verification pose is the NEW camera's pose in the OLD
+            # keyframe's frame: exactly the old->new relative-pose edge
+            old = self.keyframes[s]
+            self.closures.append((old.node, node, v.R, v.t, v.num_inliers))
             found.append(old.node)
-        if self._slots is None:
-            self._slots = self._empty_slots(kps)
-        self._store_slot(len(self.keyframes), kps)
-        self.keyframes.append(rec)
+        self.matcher.store(sk)
+        self.keyframes.append(
+            KeyframeRecord(node=node, kps=sk.kps, pts3d=sk.pts3d, pts_valid=sk.pts_valid)
+        )
         return found
 
     # ------------------------------------------------------------------

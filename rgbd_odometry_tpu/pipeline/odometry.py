@@ -33,6 +33,7 @@ from rgbd_odometry_tpu.pipeline.gop import (
     REASON_LAPLACIAN_THRESH,
     REASON_LOW_VISIBILITY,
     REASON_PERIODIC,
+    REASON_RELOCALIZED,
     REASON_TOO_FEW_REPROJECTIONS,
 )
 from rgbd_odometry_tpu.solvers import edge_dvo
@@ -184,6 +185,18 @@ class EdgeDvoOdometry:
         self._cv = self.cfg.motion_model == "constant_velocity"
         self._prevpose_dev = None
         self._dispatch_warm = None
+        # relocalization after tracking loss (beyond-reference,
+        # pipeline/relocalize.py): healthy keyframes feed an appearance
+        # database; `trigger_consecutive` lost frames trigger a recovery
+        # query that re-anchors the trajectory. The database is NOT part of
+        # checkpoints (utils/checkpoint.py) — a resumed run restarts with an
+        # empty database that repopulates from its own keyframes.
+        self._reloc = None
+        self._bad_streak = 0
+        if self.cfg.relocalize.enabled:
+            from rgbd_odometry_tpu.pipeline.relocalize import Relocalizer
+
+            self._reloc = Relocalizer(self.intr, self.cfg.relocalize)
 
         pyr = self.cfg.pyramid
         max_pts = pyr.max_points[: pyr.num_levels]
@@ -276,6 +289,10 @@ class EdgeDvoOdometry:
         self.metrics.append(
             FrameMetrics(0, 0.0, 0.0, -1, 1.0, 0.0, int(self._ref_feats[0].count), REASON_FIRST_FRAME)
         )
+        if self._reloc is not None:
+            self._reloc.add_keyframe(
+                pyr.gray[0], pyr.depth[0], self.gop.last_key_R, self.gop.last_key_t
+            )
         self._prev_pyr = pyr
         return self.gop.global_pose(0)
 
@@ -294,6 +311,26 @@ class EdgeDvoOdometry:
         b_cap = residual_b_cap(eps, int(finest.num_points))
         vis = float(finest.visible_ratio)
         n_reproj = int(finest.final_valid.sum())
+
+        # ---- tracking-loss detection + relocalization (beyond-reference,
+        # pipeline/relocalize.py) ---------------------------------------
+        if self._reloc is not None:
+            rcfg = self.cfg.relocalize
+            est_finite = bool(np.isfinite(R).all() and np.isfinite(t).all())
+            lost = (
+                (vis < rcfg.lost_visible_ratio)
+                or (n_reproj < rcfg.lost_min_points)
+                or (b_cap > rcfg.lost_b_cap)
+                or not est_finite
+            )
+            self._bad_streak = self._bad_streak + 1 if lost else 0
+            if self._bad_streak >= rcfg.trigger_consecutive:
+                res = self._reloc.relocalize(pyr.gray[0])
+                if res is not None:
+                    return self._relocalized(
+                        pyr, targets, timestamp, frame_num, res, finest,
+                        b_cap, vis, t_start,
+                    )
 
         # ---- keyframe decision (:2122-2160) --------------------------
         kf_cfg = self.cfg.keyframe
@@ -338,6 +375,14 @@ class EdgeDvoOdometry:
                 jnp.eye(3, dtype=jnp.float32),
                 jnp.zeros(3, jnp.float32),
             )
+            if self._reloc is not None and self._bad_streak == 0:
+                # frame n-1 was promoted to keyframe at gop.last_key_* —
+                # register it (healthy frames only: a lost streak must not
+                # poison the appearance database with garbage poses)
+                self._reloc.add_keyframe(
+                    self._prev_pyr.gray[0], self._prev_pyr.depth[0],
+                    self.gop.last_key_R, self.gop.last_key_t,
+                )
         elif reason != 0 and not kf_cfg.rollback_resolve:
             # __OLD__REF_UPDATE naive variant (:2166-2191): current frame
             # becomes the keyframe with the (possibly bad) estimate kept.
@@ -346,6 +391,11 @@ class EdgeDvoOdometry:
             self._set_ref(pyr, targets=targets)
             self._R = np.eye(3)
             self._t = np.zeros(3)
+            if self._reloc is not None and self._bad_streak == 0:
+                self._reloc.add_keyframe(
+                    pyr.gray[0], pyr.depth[0],
+                    self.gop.last_key_R, self.gop.last_key_t,
+                )
             self._record(frame_num, solve_ms, finest, b_cap, vis, reason, False)
             self._prev_pyr = pyr
             self._prev_targets = targets
@@ -371,6 +421,34 @@ class EdgeDvoOdometry:
             self._prevpose_dev = None
         self.gop.push_ordinary(frame_num, self._R, self._t, timestamp)
         self._record(frame_num, solve_ms, finest, b_cap, vis, reason, rolled_back, diverged)
+        self._prev_pyr = pyr
+        self._prev_targets = targets
+        return self.gop.global_pose(-1)
+
+    # ------------------------------------------------------------------
+    def _relocalized(
+        self, pyr, targets, timestamp, frame_num, res, finest, b_cap, vis, t_start
+    ):
+        """Re-anchor the trajectory at a recovered global pose: the current
+        frame becomes the reference keyframe (REASON_RELOCALIZED) at the
+        pose PnP verified against the appearance database; tracking resumes
+        from identity relative pose. The discarded solve's diagnostics are
+        still recorded for observability."""
+        solve_ms = (time.perf_counter() - t_start) * 1000.0
+        self._last_ref_frame = frame_num
+        self._set_ref(pyr, targets=targets)  # also resets _R/_t + warm start
+        self.gop.push_keyframe_absolute(
+            frame_num, REASON_RELOCALIZED, res.R, res.t, timestamp
+        )
+        self._bad_streak = 0
+        # the recovered frame is itself a healthy keyframe with a verified
+        # global pose — future losses can re-anchor against it
+        self._reloc.add_keyframe(
+            pyr.gray[0], pyr.depth[0], self.gop.last_key_R, self.gop.last_key_t
+        )
+        self._record(
+            frame_num, solve_ms, finest, b_cap, vis, REASON_RELOCALIZED, False
+        )
         self._prev_pyr = pyr
         self._prev_targets = targets
         return self.gop.global_pose(-1)

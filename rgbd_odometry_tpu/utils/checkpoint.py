@@ -6,6 +6,11 @@ persistence is trajectory text files and frame dumps; the GOP lives in memory
 This module adds the missing capability: snapshot the full odometry state —
 trajectory log, keyframe features, relative pose, frame counters — to one
 .npz and resume mid-sequence bit-exactly.
+
+Not serialized: the relocalizer's appearance database (pipeline/relocalize.py)
+— a resumed run with relocalize.enabled starts with an empty database that
+repopulates from its own keyframes (tracking itself resumes bit-exactly;
+only recovery-after-loss coverage of pre-checkpoint keyframes is narrowed).
 """
 
 from __future__ import annotations

@@ -28,6 +28,7 @@ REASON_COLORS = {
     3: (255, 160, 0),
     4: (255, 0, 255),
     5: (64, 160, 255),
+    6: (0, 255, 128),  # relocalized (beyond-reference, pipeline/relocalize.py)
 }
 
 

@@ -1,0 +1,165 @@
+"""Relocalization after tracking loss (pipeline/relocalize.py).
+
+The reference has no recovery path: once frames degrade, `loop()` keeps
+re-seating the reference keyframe on garbage
+(/root/reference/src/SolveDVO.cpp:2122-2160) and the trajectory silently
+walks away. These tests pin the beyond-parity recovery stack:
+
+  * Relocalizer unit: database of rendered keyframes at known global poses;
+    a query frame near a stored pose recovers its global translation.
+  * End-to-end: a tracked sequence hit by a blackout + teleport. With
+    --relocalize the trajectory re-anchors (REASON_RELOCALIZED keyframe,
+    post-recovery poses near GT); without it the post-blackout poses are
+    wrong by the teleport. Database hygiene: blackout frames never enter it.
+  * Lockstep multi-stream driver rejects relocalize (divergent control).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from rgbd_odometry_tpu.config import (
+    CameraConfig,
+    KeyframeConfig,
+    PipelineConfig,
+    PyramidConfig,
+    RelocalizeConfig,
+    SolverConfig,
+)
+from rgbd_odometry_tpu.core.camera import Intrinsics
+from rgbd_odometry_tpu.io.synthetic import render_sequence
+from rgbd_odometry_tpu.pipeline.gop import REASON_RELOCALIZED
+from rgbd_odometry_tpu.pipeline.odometry import EdgeDvoOdometry
+from rgbd_odometry_tpu.pipeline.relocalize import Relocalizer
+
+CAM = CameraConfig(width=160, height=120, fx=130.0, fy=130.0, cx=79.5, cy=59.5)
+
+RELOC = RelocalizeConfig(
+    enabled=True,
+    # blank frames read as "healthy" (an edge-free image min-max normalizes
+    # to an all-zero DT -> zero residuals), so loss only becomes visible on
+    # the first textured frame against a wrong/blank reference; recover on
+    # the first such frame
+    trigger_consecutive=1,
+    # 160x120 synthetic scenes carry fewer Harris corners than VGA
+    min_matches=20,
+    min_inliers=12,
+)
+
+
+def _config(reloc=RELOC):
+    return PipelineConfig(
+        camera=CAM,
+        pyramid=PyramidConfig(num_levels=3, max_points=(2048, 1024, 512)),
+        solver=SolverConfig(method="gauss_newton", iterations=(50, 8, 5)),
+        keyframe=KeyframeConfig(
+            force_every=5, enable_quality_triggers=True, rollback_resolve=True
+        ),
+        relocalize=reloc,
+    )
+
+
+def _smooth_psis(n, step=0.004):
+    ts = np.arange(n)
+    return np.stack(
+        [0.8 * step * ts, -0.5 * step * ts, 0.3 * step * ts,
+         0.15 * step * ts, -0.2 * step * ts, 0.1 * step * ts], -1
+    ).astype(np.float32)
+
+
+def test_relocalizer_unit_recovers_global_pose():
+    """DB of 3 keyframes at known global poses; a query rendered near one of
+    them recovers that global translation through match+verify+compose."""
+    psis = _smooth_psis(8)
+    frames, poses = render_sequence(CAM, psis, seed=0)
+    intr = Intrinsics.from_config(CAM)
+    reloc = Relocalizer(intr, RELOC)
+    for k in (0, 3, 6):
+        g, d = frames[k]
+        R, t = poses[k]
+        reloc.add_keyframe(g, d, R, t)
+    assert len(reloc) == 3
+
+    # query = frame 4 (between stored 3 and 6, ~5 mm from frame 3's pose)
+    res = reloc.relocalize(frames[4][0])
+    assert res is not None
+    assert res.num_inliers >= RELOC.min_inliers
+    t_gt = poses[4][1]
+    err_mm = 1000 * np.linalg.norm(res.t - t_gt)
+    assert err_mm < 15.0, f"recovered pose off by {err_mm:.1f} mm"
+    # sanity: the recovered rotation is a rotation
+    assert abs(np.linalg.det(res.R) - 1.0) < 1e-3
+    np.testing.assert_allclose(res.R @ res.R.T, np.eye(3), atol=1e-3)
+
+    # a blank query must NOT relocalize
+    assert reloc.relocalize(np.zeros((120, 160), np.float32)) is None
+    assert reloc.attempts == 2 and reloc.successes == 1
+
+
+def _blackout_teleport_run(enabled: bool):
+    """6 fast tracked frames (~60 mm from origin by frame 5), 3 blank
+    frames, then 4 slow frames teleported back near the origin (where early
+    keyframes live in the database)."""
+    psis_a = _smooth_psis(6, step=0.012)
+    # teleport: resume near the origin, drifting slowly from there
+    psis_b = _smooth_psis(4, step=0.002)
+    frames_a, poses_a = render_sequence(CAM, psis_a, seed=0)
+    frames_b, poses_b = render_sequence(CAM, psis_b, seed=0)
+    blank = (np.zeros((120, 160), np.float32), np.zeros((120, 160), np.float32))
+
+    reloc_cfg = dataclasses.replace(RELOC, enabled=enabled)
+    odo = EdgeDvoOdometry(_config(reloc_cfg))
+    seq = list(frames_a) + [blank] * 3 + list(frames_b)
+    for i, (g, d) in enumerate(seq):
+        odo.process_frame(g, d, timestamp=float(i))
+    _, t_est, _ = odo.trajectory()
+    # error of the post-teleport frames vs their GT (the first teleported
+    # frame is where loss becomes detectable; recovery is complete by the
+    # following frame — judge the last 3)
+    gt_b = np.stack([p[1] for p in poses_b])
+    err_mm = 1000 * np.linalg.norm(t_est[-3:] - gt_b[-3:], axis=1)
+    return odo, err_mm
+
+
+def test_relocalization_recovers_from_blackout_teleport():
+    odo, err_mm = _blackout_teleport_run(enabled=True)
+    reasons = [e.reason for e in odo.gop.elements]
+    assert REASON_RELOCALIZED in reasons, reasons
+    assert odo._reloc.successes >= 1
+    # recovered: the post-recovery frames land near GT
+    assert err_mm.max() < 25.0, err_mm
+    # database hygiene: only healthy textured keyframes entered (bootstrap,
+    # promotions, the recovery anchor) — never the 3 blank frames, which the
+    # keypoint-count gate rejects even when they slip through as "healthy"
+    assert 2 <= len(odo._reloc) <= 12
+
+
+def test_without_relocalization_stays_lost():
+    odo, err_mm = _blackout_teleport_run(enabled=False)
+    assert odo._reloc is None
+    # the ~60 mm teleport leaves the un-anchored trajectory wrong by at
+    # least a few cm on every post-teleport frame
+    assert err_mm.min() > 30.0, err_mm
+
+
+def test_multistream_rejects_relocalize():
+    jax = pytest.importorskip("jax")
+    from rgbd_odometry_tpu.parallel.mesh import make_mesh
+    from rgbd_odometry_tpu.parallel.streams import MultiStreamOdometry
+
+    mesh = make_mesh()
+    cfg = dataclasses.replace(
+        _config(), keyframe=KeyframeConfig(rollback_resolve=False)
+    )
+    with pytest.raises(ValueError, match="relocaliz"):
+        MultiStreamOdometry(mesh, mesh.devices.size, cfg)
+
+
+def test_reloc_config_serialization_roundtrip():
+    cfg = _config()
+    cfg2 = PipelineConfig.from_json(cfg.to_json())
+    assert cfg2.relocalize == cfg.relocalize
+    assert cfg2.relocalize.enabled
+    with pytest.raises(ValueError):
+        RelocalizeConfig(trigger_consecutive=0)
