@@ -28,7 +28,49 @@ import numpy as np
 KEYFRAME_EVERY = 5
 
 
+def _backend_reachable(attempts: int = 3, timeout_s: float = 180.0) -> bool:
+    """Probe device-backend init in a SUBPROCESS with a hard timeout.
+
+    On this environment the TPU arrives through a tunnel; when the tunnel is
+    down, `jax.devices()` blocks indefinitely (observed 2026-08-18: probes
+    hang past 180 s for hours) and would hang the driver's bench run with
+    it. A subprocess probe can be killed; the main process only initializes
+    the backend after a probe succeeds. Retries cover transient outages."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(60)
+    return False
+
+
 def main() -> None:
+    if not _backend_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "edge-DVO frame alignments/sec/chip",
+                    "value": 0.0,
+                    "unit": "frames/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        "device backend unreachable (3 probes timed out at "
+                        "180 s — tunnel down); no measurement taken"
+                    ),
+                }
+            )
+        )
+        return
     import jax
     import jax.numpy as jnp
 
