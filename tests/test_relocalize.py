@@ -143,6 +143,44 @@ def test_without_relocalization_stays_lost():
     assert err_mm.min() > 30.0, err_mm
 
 
+def test_reloc_streaming_matches_sequential_exactly():
+    """process_stream with relocalization enabled is bit-identical to the
+    sequential loop: a recovery re-anchor breaks the speculation chain
+    (fresh identity warm start + new reference) exactly like a keyframe
+    switch, so the speculative dispatch is discarded and re-issued."""
+    import jax.numpy as jnp
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+
+    psis_a = _smooth_psis(6, step=0.012)
+    psis_b = _smooth_psis(4, step=0.002)
+    frames_a, _ = render_sequence(CAM, psis_a, seed=0)
+    frames_b, _ = render_sequence(CAM, psis_b, seed=0)
+    blank = (np.zeros((120, 160), np.float32), np.zeros((120, 160), np.float32))
+    seq = list(frames_a) + [blank] * 3 + list(frames_b)
+
+    odo_seq = EdgeDvoOdometry(_config())
+    for i, (g, d) in enumerate(seq):
+        odo_seq.process_frame(g, d, float(i))
+
+    odo_pipe = EdgeDvoOdometry(_config())
+    pyrs = (
+        (build_pyramid(jnp.asarray(g), jnp.asarray(d), 3), float(i))
+        for i, (g, d) in enumerate(seq)
+    )
+    poses = list(odo_pipe.process_stream(pyrs))
+    assert len(poses) == len(seq)
+
+    assert REASON_RELOCALIZED in [e.reason for e in odo_seq.gop.elements]
+    R1, t1, _ = odo_seq.trajectory()
+    R2, t2, _ = odo_pipe.trajectory()
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(R1, R2)
+    assert [e.reason for e in odo_seq.gop.elements] == [
+        e.reason for e in odo_pipe.gop.elements
+    ]
+    assert odo_pipe._reloc.successes == odo_seq._reloc.successes
+
+
 def test_multistream_rejects_relocalize():
     jax = pytest.importorskip("jax")
     from rgbd_odometry_tpu.parallel.mesh import make_mesh
