@@ -197,6 +197,8 @@ class EdgeDvoOdometry:
             from rgbd_odometry_tpu.pipeline.relocalize import Relocalizer
 
             self._reloc = Relocalizer(self.intr, self.cfg.relocalize)
+        # lazily-jitted pose-uncertainty entry (see pose_information below)
+        self._info_fn = None
 
         pyr = self.cfg.pyramid
         max_pts = pyr.max_points[: pyr.num_levels]
@@ -587,6 +589,36 @@ class EdgeDvoOdometry:
                 ),
             )
         )
+
+    # ------------------------------------------------------------------
+    def pose_information(self):
+        """On-demand pose-uncertainty query for the LAST resolved frame:
+        (info (6,6) float64, sigma2, n_eff) from edge_dvo.pose_information
+        at the current relative pose vs the current reference keyframe,
+        evaluated on the finest level over all points.
+
+        Beyond the reference (which never quantifies uncertainty).
+        Deliberately NOT part of the per-frame hot path: one extra device
+        dispatch, paid only when called. `edge_dvo.pose_covariance` turns
+        the result into a 6x6 covariance in the solver's twist coordinates.
+        Returns None before the second frame (no targets solved yet)."""
+        if self._prev_targets is None:
+            return None
+        if self._info_fn is None:
+            scfg = self.cfg.solver
+            intr0 = self.intr.at_level(0)
+            self._info_fn = jax.jit(
+                lambda ref0, now0, R, t: edge_dvo.pose_information(
+                    ref0, now0, intr0, scfg, R, t
+                )
+            )
+        info, sigma2, n_eff = self._info_fn(
+            self._ref_feats[0],
+            self._prev_targets[0],
+            jnp.asarray(self._R, jnp.float32),
+            jnp.asarray(self._t, jnp.float32),
+        )
+        return np.asarray(info, np.float64), float(sigma2), float(n_eff)
 
     # ------------------------------------------------------------------
     def trajectory(self):

@@ -853,6 +853,56 @@ def solve_pyramid(
     return R, t, tuple(d for d in diags if d is not None)
 
 
+def pose_information(
+    ref_level: RefLevel,
+    now_level: NowLevel,
+    intr_level: Intrinsics,
+    cfg: SolverConfig,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+):
+    """6x6 information matrix (Gauss-Newton Hessian approximation J^T W J)
+    of the edge-alignment cost at pose (R, t), plus the robust residual
+    variance for covariance scaling.
+
+    Beyond the reference, which never quantifies pose uncertainty: the
+    information matrix is the local quadratic model of the energy around
+    the solved pose in the solver's 6-DoF twist coordinates
+    (translation then rotation, the `psi` layout of `_solve_normal_eqs`).
+    Weakly-constrained directions (e.g. motion parallel to all edges) show
+    up as small eigenvalues; fusion consumers weight the DVO estimate by
+    it and `pose_covariance` turns it into a covariance estimate.
+
+    One Jacobian pass over ALL points of the given level at the given pose
+    (the same `_jacobian_residual` the optimizer iterates); deliberately a
+    standalone entry point so the hot solve path is untouched — callers
+    pay one extra dispatch only when they ask.
+
+    Returns (info (6,6), sigma2 (), n_eff ()): the unscaled J^T W J, the
+    weighted residual variance sum(w e^2)/sum(w), and the effective point
+    count sum(w).
+    """
+    J, eps, wgt, _visible, _energy, _vis = _jacobian_residual(
+        R, t, ref_level, now_level, intr_level, cfg
+    )
+    info = jnp.einsum("ki,k,kj->ij", J, wgt, J, precision=_PREC)
+    n_eff = jnp.sum(wgt)
+    sigma2 = jnp.sum(wgt * eps * eps) / jnp.maximum(n_eff, 1e-6)
+    return info, sigma2, n_eff
+
+
+def pose_covariance(info, sigma2, n_eff=None, ridge: float = 1e-9):
+    """Covariance estimate from `pose_information` outputs (host-side numpy):
+    sigma^2 (J^T W J)^-1, the standard nonlinear-least-squares local
+    covariance with the robust weights folded into both factors. `ridge`
+    regularizes rank-deficient directions (degenerate scenes)."""
+    import numpy as np
+
+    info = np.asarray(info, np.float64)
+    scale = float(sigma2)
+    return scale * np.linalg.inv(info + ridge * np.eye(6))
+
+
 def extract_ref_features(
     gray_pyr: Tuple[jnp.ndarray, ...],
     depth_pyr: Tuple[jnp.ndarray, ...],

@@ -315,3 +315,87 @@ def test_segmented_selection_subset_and_accuracy():
 
     with pytest.raises(ValueError, match="parity"):
         SolverConfig(method="subgradient", extract_selection="segmented")
+
+
+def test_pose_information_quadratic_model():
+    """pose_information returns the local quadratic model of the energy:
+    symmetric PSD J^T W J in twist coordinates whose stiff/soft eigen-
+    directions ORDER the measured energy growth under equal-norm pose
+    perturbations; pose_covariance inverts it sanely. Beyond-reference
+    capability (the reference never quantifies pose uncertainty)."""
+    import dataclasses
+
+    from rgbd_odometry_tpu.core import geometry as geo
+
+    cfg = SolverConfig(method="gauss_newton", iterations=(18, 8, 5))
+    psi_gt = np.array([0.004, -0.003, 0.002, 0.002, -0.002, 0.001], np.float32)
+    ref, now, (R_gt, t_gt) = _make_pair(psi_gt)
+    intr = Intrinsics.from_config(CAM)
+    feats = edge_dvo.extract_ref_features(ref.gray, ref.depth, intr, cfg, MAX_PTS[:3])
+    tgts = edge_dvo.prepare_now_targets(now.gray, cfg)
+    R, t, _ = edge_dvo.solve_pyramid(feats, tgts, intr, cfg)
+
+    info, sigma2, n_eff = jax.jit(
+        lambda R_, t_: edge_dvo.pose_information(feats[0], tgts[0], intr, cfg, R_, t_)
+    )(R, t)
+    info = np.asarray(info, np.float64)
+    np.testing.assert_allclose(info, info.T, rtol=0, atol=1e-3 * np.abs(info).max())
+    w, V = np.linalg.eigh(info)
+    assert w.min() > 0, w  # textured scene: all 6 DoF observable
+    assert float(n_eff) > 100
+    assert float(sigma2) >= 0
+
+    # the measured energy must grow MORE along the stiffest eigendirection
+    # than along the softest one for an equal-norm twist perturbation
+    def energy_at(Rm, tm):
+        _, _, _, _, e, _ = edge_dvo._jacobian_residual(
+            jnp.asarray(Rm, jnp.float32), jnp.asarray(tm, jnp.float32),
+            feats[0], tgts[0], intr, cfg,
+        )
+        return float(e) ** 2
+
+    def perturbed(v, delta=2e-3):
+        xR, xt = geo.se3_exp(jnp.asarray(delta * v, jnp.float32))
+        Rm = np.asarray(R, np.float64)
+        return Rm @ np.asarray(xR, np.float64), np.asarray(t, np.float64) + Rm @ np.asarray(xt, np.float64)
+
+    e0 = energy_at(np.asarray(R), np.asarray(t))
+    grow_soft = energy_at(*perturbed(V[:, 0])) - e0
+    grow_stiff = energy_at(*perturbed(V[:, -1])) - e0
+    assert grow_stiff > grow_soft, (grow_soft, grow_stiff, w)
+
+    cov = edge_dvo.pose_covariance(info, sigma2, n_eff)
+    np.testing.assert_allclose(cov, cov.T, rtol=0, atol=1e-9 + 1e-6 * np.abs(cov).max())
+    assert np.all(np.diag(cov) > 0)
+    # covariance is the scaled inverse: soft information direction = large
+    # covariance direction
+    assert cov @ info == pytest.approx(float(sigma2) * np.eye(6), abs=1e-5 * max(float(sigma2), 1.0))
+
+
+def test_pose_information_driver_accessor():
+    """EdgeDvoOdometry.pose_information: None before targets exist, then a
+    finite PSD 6x6 after frames are processed (one on-demand dispatch)."""
+    from rgbd_odometry_tpu.config import KeyframeConfig, PipelineConfig, PyramidConfig
+    from rgbd_odometry_tpu.io.synthetic import render_sequence
+    from rgbd_odometry_tpu.pipeline.odometry import EdgeDvoOdometry
+
+    cfg = PipelineConfig(
+        camera=CAM,
+        pyramid=PyramidConfig(num_levels=3, max_points=(2048, 1024, 512)),
+        solver=SolverConfig(method="gauss_newton", iterations=(18, 8, 5)),
+        keyframe=KeyframeConfig(force_every=5),
+    )
+    odo = EdgeDvoOdometry(cfg)
+    assert odo.pose_information() is None
+    ts = np.arange(4)
+    psis = np.stack([0.8 * 0.004 * ts, -0.5 * 0.004 * ts, 0.3 * 0.004 * ts,
+                     0.15 * 0.004 * ts, -0.2 * 0.004 * ts, 0.1 * 0.004 * ts], -1).astype(np.float32)
+    frames, _ = render_sequence(CAM, psis, seed=0)
+    for i, (g, d) in enumerate(frames):
+        odo.process_frame(g, d, timestamp=float(i))
+    out = odo.pose_information()
+    assert out is not None
+    info, sigma2, n_eff = out
+    assert info.shape == (6, 6) and np.isfinite(info).all()
+    assert np.linalg.eigvalsh(info).min() > 0
+    assert sigma2 >= 0 and n_eff > 100
