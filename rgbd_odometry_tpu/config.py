@@ -337,7 +337,10 @@ class PipelineConfig:
     solver: SolverConfig = field(default_factory=SolverConfig)
     keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
     relocalize: RelocalizeConfig = field(default_factory=RelocalizeConfig)
-    # compute dtype for image ops ("float32"; bfloat16 available for edges/DT)
+    # reserved: pipeline-wide compute dtype (kept for config-file/checkpoint
+    # compatibility; currently only "float32" is meaningful — the shipped
+    # reduced-precision path is SolverConfig.gather_dtype, which feeds the
+    # stacked DT/gradient channels to the MXU gathers in bfloat16)
     dtype: str = "float32"
     # streaming warm-start motion model: "hold" re-uses the previous relative
     # pose (the reference's implicit behavior, /root/reference/src/SolveDVO.cpp
