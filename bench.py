@@ -56,13 +56,16 @@ def _backend_reachable(attempts: int = 3, timeout_s: float = 180.0) -> bool:
 
 def main() -> None:
     if not _backend_reachable():
+        # value/vs_baseline are null, NOT 0: a zero would be recorded as a
+        # catastrophic perf regression by anything that keys on "value";
+        # null + error is unambiguous "no measurement taken"
         print(
             json.dumps(
                 {
                     "metric": "edge-DVO frame alignments/sec/chip",
-                    "value": 0.0,
+                    "value": None,
                     "unit": "frames/s/chip",
-                    "vs_baseline": 0.0,
+                    "vs_baseline": None,
                     "error": (
                         "device backend unreachable (3 probes timed out at "
                         "180 s — tunnel down); no measurement taken"

@@ -177,6 +177,12 @@ def cmd_dvo(args):
         closer = LoopCloser(odo.intr)
 
     def _maybe_register_keyframe(gray_np, depth_np):
+        # known cost when --loop-close AND --relocalize are both on: each
+        # keyframe is detected/described twice (two independent
+        # KeyframeMatcher stores with different match-gate configs — the
+        # loop closer needs the reference-parity 1e-3 gate floor, the
+        # relocalizer 0.2). One extra ~RTT per KEYFRAME (not per frame);
+        # fold into one shared store only if that combo becomes hot.
         m = odo.metrics[-1]
         if closer is not None and m.keyframe_reason != 0:
             closer.add_keyframe(m.frame_num, gray_np, depth_np)

@@ -140,6 +140,8 @@ class KeyframeMatcher:
         )
 
     def num_slots(self) -> int:
+        if self._slots is None:
+            return 0
         return jax.tree_util.tree_leaves(self._slots)[0].shape[0]
 
     def store(self, sk: StoredKeyframe) -> int:

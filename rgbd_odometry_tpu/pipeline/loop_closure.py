@@ -82,6 +82,10 @@ class LoopCloser:
             ),
             seed=seed,
         )
+        # public per-keyframe records. NOTE: kps/pts3d/pts_valid are the
+        # SAME array references the matcher's stored list holds (no copies);
+        # matcher.stored is the canonical slot index — the two lists grow in
+        # lockstep inside add_keyframe and must never be mutated elsewhere
         self.keyframes: List[KeyframeRecord] = []
         self.closures: List[Tuple[int, int, np.ndarray, np.ndarray, int]] = []
         self.skipped_candidates: int = 0  # dropped by max_candidates_per_keyframe

@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from rgbd_odometry_tpu.core.camera import Intrinsics
@@ -72,12 +73,20 @@ class Relocalizer:
     def add_keyframe(self, gray, depth_mm, R_global: np.ndarray, t_global: np.ndarray) -> bool:
         """Register a healthy tracking keyframe and its global pose.
 
-        Featureless frames (fewer keypoints than `min_matches` — e.g. a
-        blackout frame that slipped through as "healthy" because a blank
-        image yields zero residuals) are rejected: they could never be
-        matched, and their poses may be stale. Returns whether stored."""
+        Unverifiable frames are rejected — they could never anchor a
+        recovery, and each stored frame can crowd a better candidate out of
+        the top-`max_candidates` verification rounds:
+          * fewer keypoints than `min_matches` (e.g. a blackout frame that
+            slipped through as "healthy" because a blank image yields zero
+            residuals) — could never produce enough descriptor matches;
+          * fewer depth-valid keypoints than `min_inliers` (e.g. heavy
+            structured-light shadow/dropout degradation) — could match in
+            2D but can never reach the PnP inlier threshold.
+        Returns whether stored."""
         sk = self.matcher.describe(gray, depth_mm)
         if int(sk.kps.count) < self.cfg.min_matches:
+            return False
+        if int(jnp.sum(sk.pts_valid)) < self.cfg.min_inliers:
             return False
         self.matcher.store(sk)
         self.poses.append(

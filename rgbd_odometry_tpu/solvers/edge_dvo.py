@@ -894,12 +894,16 @@ def pose_information(
 def pose_covariance(info, sigma2, n_eff=None, ridge: float = 1e-9):
     """Covariance estimate from `pose_information` outputs (host-side numpy):
     sigma^2 (J^T W J)^-1, the standard nonlinear-least-squares local
-    covariance with the robust weights folded into both factors. `ridge`
-    regularizes rank-deficient directions (degenerate scenes)."""
-    import numpy as np
-
+    covariance with the robust weights folded into both factors. When
+    `n_eff` is given, the residual variance gets the small-sample
+    n/(n - 6) degrees-of-freedom correction (negligible at the usual
+    hundreds of points, meaningful on degenerate low-point scenes).
+    `ridge` regularizes rank-deficient directions (degenerate scenes)."""
     info = np.asarray(info, np.float64)
     scale = float(sigma2)
+    if n_eff is not None:
+        n = float(n_eff)
+        scale *= n / max(n - 6.0, 1.0)
     return scale * np.linalg.inv(info + ridge * np.eye(6))
 
 

@@ -364,12 +364,16 @@ def test_pose_information_quadratic_model():
     grow_stiff = energy_at(*perturbed(V[:, -1])) - e0
     assert grow_stiff > grow_soft, (grow_soft, grow_stiff, w)
 
-    cov = edge_dvo.pose_covariance(info, sigma2, n_eff)
+    cov = edge_dvo.pose_covariance(info, sigma2)
     np.testing.assert_allclose(cov, cov.T, rtol=0, atol=1e-9 + 1e-6 * np.abs(cov).max())
     assert np.all(np.diag(cov) > 0)
     # covariance is the scaled inverse: soft information direction = large
     # covariance direction
     assert cov @ info == pytest.approx(float(sigma2) * np.eye(6), abs=1e-5 * max(float(sigma2), 1.0))
+    # the n/(n-6) degrees-of-freedom correction inflates it slightly
+    cov_dof = edge_dvo.pose_covariance(info, sigma2, n_eff)
+    n = float(n_eff)
+    np.testing.assert_allclose(cov_dof, cov * (n / (n - 6.0)), rtol=1e-12)
 
 
 def test_pose_information_driver_accessor():

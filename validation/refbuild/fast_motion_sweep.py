@@ -34,7 +34,9 @@ def family_psis(name: str, n: int) -> np.ndarray:
     ts = np.arange(n, dtype=np.float32)
     cols = [0.8 * ts, -0.5 * ts, 0.3 * ts, 0.15 * ts, -0.2 * ts, 0.1 * ts]
     if name == "fast":
-        # constant velocity, 2.7x the family_sweep rate (~6.4 mm/frame)
+        # constant velocity: step 0.008 x ||(0.8,-0.5,0.3)|| ~ 7.9 mm/frame
+        # translation (measured path 308.9 mm / 39 steps), ~3.3x the
+        # family_sweep rate of ~2.4 mm/frame
         return (0.008 * np.stack(cols, -1)).astype(np.float32)
     if name == "accel":
         # accelerating: quadratic absolute twists, inter-frame motion grows
