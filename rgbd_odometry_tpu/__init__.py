@@ -38,6 +38,7 @@ _LAZY = {
     "LoopCloser": ("rgbd_odometry_tpu.pipeline.loop_closure", "LoopCloser"),
     "Relocalizer": ("rgbd_odometry_tpu.pipeline.relocalize", "Relocalizer"),
     "refine_pose_graph": ("rgbd_odometry_tpu.solvers.pose_graph", "refine_pose_graph"),
+    "information_sqrt": ("rgbd_odometry_tpu.solvers.pose_graph", "information_sqrt"),
     "Intrinsics": ("rgbd_odometry_tpu.core.camera", "Intrinsics"),
     "FrameFeeder": ("rgbd_odometry_tpu.pipeline.feeder", "FrameFeeder"),
     "TumSource": ("rgbd_odometry_tpu.io.stream", "TumSource"),

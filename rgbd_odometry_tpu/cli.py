@@ -175,6 +175,20 @@ def cmd_dvo(args):
         from rgbd_odometry_tpu.pipeline.loop_closure import LoopCloser
 
         closer = LoopCloser(odo.intr)
+    info_recs = None
+    if getattr(args, "weighted_refine", False):
+        if not args.loop_close:
+            sys.exit("--weighted-refine requires --loop-close")
+        info_recs = []
+
+    def _maybe_collect_info():
+        # per-frame J^T W J / sigma^2 for information-weighted refinement
+        # (one extra on-demand dispatch; only when --weighted-refine)
+        if info_recs is not None:
+            pi = odo.pose_information()
+            info_recs.append(
+                None if pi is None else np.asarray(pi[0]) / max(pi[1], 1e-12)
+            )
 
     def _maybe_register_keyframe(gray_np, depth_np):
         # known cost when --loop-close AND --relocalize are both on: each
@@ -229,6 +243,7 @@ def cmd_dvo(args):
                 viz.on_frame(odo, np.asarray(pyr.gray[0]), np.asarray(pyr.depth[0]))
             if closer is not None:
                 _maybe_register_keyframe(np.asarray(pyr.gray[0]), np.asarray(pyr.depth[0]))
+            _maybe_collect_info()
             n += 1
             _after(odo.metrics[-1])
     else:
@@ -241,6 +256,7 @@ def cmd_dvo(args):
                 viz.on_frame(odo, gray, depth)
             if closer is not None:
                 _maybe_register_keyframe(gray, depth)
+            _maybe_collect_info()
             n += 1
             _after(odo.metrics[-1])
     if trace_cm is not None:
@@ -263,11 +279,40 @@ def cmd_dvo(args):
         )
     R, t, ts = odo.trajectory()
     if closer is not None and len(t) > 1:
+        odo_si = None
+        if info_recs is not None:
+            # edge k connects frames k -> k+1; weight it by frame k+1's solve
+            # information. Frames with no measurement (frame 0) fall back to
+            # the batch mean — neutral after scale normalization
+            import jax.numpy as jnp
+
+            from rgbd_odometry_tpu.solvers.pose_graph import (
+                normalized_information_sqrt,
+            )
+
+            infos = info_recs[1:len(t)]
+            if len(infos) != len(t) - 1:
+                # e.g. --resume: trajectory nodes predate this run's
+                # measurements — fall back to isotropic edges, loudly
+                print(
+                    "weighted-refine: trajectory has nodes without collected "
+                    "information (resumed run?) — using isotropic edges",
+                    file=sys.stderr,
+                )
+                infos = []
+            have = [x for x in infos if x is not None]
+            if have:
+                fill = np.mean(np.stack(have), axis=0)
+                arr = np.stack([x if x is not None else fill for x in infos])
+                odo_si = np.asarray(
+                    normalized_information_sqrt(jnp.asarray(arr, jnp.float32))
+                )
         # drift-correcting refinement over the detected loop closures
-        R, t, norms = closer.refine(R, t)
+        R, t, norms = closer.refine(R, t, odo_sqrt_info=odo_si)
         print(
             f"loop closures: {len(closer.closures)}; graph residual "
-            f"{norms[0]:.4f} -> {norms[-1]:.4f}",
+            f"{norms[0]:.4f} -> {norms[-1]:.4f}"
+            + (" (information-weighted odometry edges)" if odo_si is not None else ""),
             file=sys.stderr,
         )
     if viz is not None and n > 0:
@@ -645,18 +690,26 @@ def cmd_refine(args):
     R_f, t_f, norms = refine_pose_graph(
         jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32), edges,
         iterations=args.iterations,
+        robust=args.robust, robust_delta=args.robust_delta,
     )
     write_trajectory(args.out, np.asarray(R_f, np.float64), np.asarray(t_f, np.float64), ts)
-    print(
-        json.dumps(
-            {
-                "nodes": len(t),
-                "loop_closures": n_lc,
-                "residual_norms": [round(float(x), 6) for x in np.asarray(norms)],
-                "out": args.out,
-            }
-        )
-    )
+    summary = {
+        "nodes": len(t),
+        "loop_closures": n_lc,
+        "residual_norms": [round(float(x), 6) for x in np.asarray(norms)],
+        "out": args.out,
+    }
+    if args.robust and n_lc:
+        # which constraints the robust kernel actually trusts at the solution
+        from rgbd_odometry_tpu.solvers.pose_graph import edge_robust_weights
+
+        w_all = np.asarray(edge_robust_weights(
+            R_f, t_f, edges, args.robust, args.robust_delta
+        ))
+        summary["closure_robust_weights"] = [
+            round(float(x), 4) for x in w_all[-n_lc:]
+        ]
+    print(json.dumps(summary))
 
 
 def cmd_dump(args):
@@ -839,6 +892,7 @@ def main(argv=None):
     )
     p.add_argument("--trace-dir", default=None, help="capture a jax.profiler device trace here")
     p.add_argument("--loop-close", action="store_true", help="detect loop closures between keyframes and refine the trajectory (pose-graph GN)")
+    p.add_argument("--weighted-refine", action="store_true", help="with --loop-close: weight odometry edges by the solver's per-frame 6x6 information matrix (one extra on-demand dispatch per frame), so confidently tracked segments resist deformation and weakly-observed directions absorb the closure correction")
     p.add_argument("--pipelined", action="store_true", help="speculative streaming: next frame dispatches off in-flight device outputs (bit-identical trajectory; helps when dispatch is asynchronous — see BASELINE.md)")
     p.add_argument("--motion-model", default="hold", choices=["hold", "constant_velocity"], help="streaming warm-start model: hold the previous relative pose (reference behavior) or extrapolate it by the last inter-frame motion (device-composed, zero extra transfers)")
     p.add_argument("--relocalize", action="store_true", help="recover from tracking loss: healthy keyframes feed a device-resident appearance database; after consecutive lost frames the trajectory re-anchors at the best PnP-verified database pose (beyond-reference)")
@@ -889,6 +943,8 @@ def main(argv=None):
     p.add_argument("--constraints", default=None, help="file: i j tx ty tz qx qy qz qw [weight]")
     p.add_argument("--out", required=True)
     p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--robust", default=None, choices=["huber", "geman"], help="IRLS kernel on edge residuals: huber bounds an outlier edge's pull, geman (redescending) switches false loop closures off entirely")
+    p.add_argument("--robust-delta", type=float, default=1.0, help="robust kernel scale in whitened-residual units")
     p.set_defaults(fn=cmd_refine)
 
     p = sub.add_parser("fused", help="IMU prior + edge DVO + sparse-PnP fallback (BASELINE config 5)")

@@ -146,15 +146,39 @@ class LoopCloser:
         return PoseGraphEdges(i=i, j=j, R_rel=R_rel, t_rel=t_rel, weight=w)
 
     def refine(
-        self, R: np.ndarray, t: np.ndarray, iterations: int = 10
+        self,
+        R: np.ndarray,
+        t: np.ndarray,
+        iterations: int = 10,
+        odo_sqrt_info: Optional[np.ndarray] = None,
+        robust: Optional[str] = None,
+        robust_delta: float = 1.0,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Refine an absolute trajectory with the detected closures."""
-        edges = odometry_edges(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+        """Refine an absolute trajectory with the detected closures.
+
+        ``odo_sqrt_info``: optional (N-1, 6, 6) whitening factors for the
+        odometry edges (see pose_graph.normalized_information_sqrt) — built
+        from the solver's per-frame `pose_information`, so confidently
+        tracked segments resist deformation and weakly-observed ones absorb
+        the loop-closure correction.
+
+        ``robust``: optional IRLS kernel ("huber" | "geman") guarding the
+        graph against FALSE loop closures (perceptual aliasing passes the
+        PnP gate with a geometrically wrong pose); see
+        pose_graph.refine_pose_graph."""
+        edges = odometry_edges(
+            jnp.asarray(R, jnp.float32),
+            jnp.asarray(t, jnp.float32),
+            sqrt_info=(
+                None if odo_sqrt_info is None
+                else jnp.asarray(odo_sqrt_info, jnp.float32)
+            ),
+        )
         lc = self.closure_edges()
         if lc is not None:
             edges = concat_edges(edges, lc)
         R_f, t_f, norms = refine_pose_graph(
             jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32), edges,
-            iterations=iterations,
+            iterations=iterations, robust=robust, robust_delta=robust_delta,
         )
         return np.asarray(R_f, np.float64), np.asarray(t_f, np.float64), np.asarray(norms)

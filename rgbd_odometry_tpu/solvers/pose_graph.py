@@ -40,34 +40,97 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 class PoseGraphEdges(NamedTuple):
-    """Relative-pose constraints: pose_j ~= pose_i * (R_rel, t_rel)."""
+    """Relative-pose constraints: pose_j ~= pose_i * (R_rel, t_rel).
+
+    ``sqrt_info`` (optional, (E, 6, 6)): per-edge whitening factor L with
+    information matrix Omega = L L^T; residuals become r' = L^T (w * r), so
+    the Gauss-Newton cost is the Mahalanobis norm r^T Omega r. Build it from
+    solver information matrices (edge_dvo.pose_information) via
+    `information_sqrt`. None = isotropic (scalar `weight` only), the
+    reference-equivalent behavior."""
 
     i: jnp.ndarray  # (E,) int32 source node
     j: jnp.ndarray  # (E,) int32 target node
     R_rel: jnp.ndarray  # (E, 3, 3)
     t_rel: jnp.ndarray  # (E, 3)
     weight: jnp.ndarray  # (E,) confidence weight (1/sigma)
+    sqrt_info: jnp.ndarray | None = None  # (E, 6, 6) lower-tri Cholesky of Omega
 
 
-def odometry_edges(R: jnp.ndarray, t: jnp.ndarray, weight: float = 1.0) -> PoseGraphEdges:
+def information_sqrt(info: jnp.ndarray, ridge: float = 1e-9) -> jnp.ndarray:
+    """(E, 6, 6) information matrices -> whitening factors L (Omega = L L^T).
+
+    Batched Cholesky with a ridge for rank-deficient directions (degenerate
+    scenes give near-singular J^T W J). Twist layout must match the residual:
+    (translation, rotation) — the solver's `psi` layout, which is also what
+    `geo.se3_log` returns."""
+    info = jnp.asarray(info)
+    eye = jnp.eye(6, dtype=info.dtype)
+    return jnp.linalg.cholesky(info + ridge * eye)
+
+
+def normalized_information_sqrt(
+    info: jnp.ndarray, sigma2: jnp.ndarray | None = None, ridge: float = 1e-9
+) -> jnp.ndarray:
+    """`information_sqrt` with batch scale normalization, for mixing
+    solver-produced information matrices with scalar-weighted edges.
+
+    Raw J^T W J magnitudes grow with point count (~1e4-1e6), which would
+    drown any scalar-weighted edge (loop closures default to weight 3) in
+    the same graph. Dividing the whole batch by the mean of trace/6 pins
+    the AVERAGE whitened residual scale at ~1 — the same scale as a
+    weight-1 isotropic edge — while preserving both the anisotropy within
+    each edge and the relative confidence between edges, which is the
+    actual signal. ``sigma2`` (optional, (E,)): per-edge robust residual
+    variance from `pose_information`; the true information is
+    J^T W J / sigma2, so noisier solves count for less."""
+    info = jnp.asarray(info)
+    if sigma2 is not None:
+        info = info / jnp.maximum(jnp.asarray(sigma2)[:, None, None], 1e-12)
+    scale = jnp.mean(jnp.trace(info, axis1=-2, axis2=-1)) / 6.0
+    return information_sqrt(info / jnp.maximum(scale, 1e-30), ridge=ridge)
+
+
+def odometry_edges(
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    weight: float = 1.0,
+    sqrt_info: jnp.ndarray | None = None,
+) -> PoseGraphEdges:
     """Consecutive-frame constraints from an absolute trajectory (the GOP
-    chain re-expressed as edges)."""
+    chain re-expressed as edges). ``sqrt_info``: optional (n-1, 6, 6)
+    per-edge whitening factors (see `information_sqrt`) — e.g. built from
+    the solver's per-frame `pose_information` so weakly-constrained
+    directions pull less during refinement."""
     n = R.shape[0]
     i = jnp.arange(n - 1, dtype=jnp.int32)
     j = i + 1
     R_rel = jnp.einsum("nij,nik->njk", R[:-1], R[1:], precision=_PREC)  # Ri^T Rj
     t_rel = jnp.einsum("nij,ni->nj", R[:-1], t[1:] - t[:-1], precision=_PREC)
     w = jnp.full((n - 1,), weight, R.dtype)
-    return PoseGraphEdges(i=i, j=j, R_rel=R_rel, t_rel=t_rel, weight=w)
+    return PoseGraphEdges(i=i, j=j, R_rel=R_rel, t_rel=t_rel, weight=w,
+                          sqrt_info=sqrt_info)
 
 
 def concat_edges(a: PoseGraphEdges, b: PoseGraphEdges) -> PoseGraphEdges:
+    # identity whitening for the side that lacks sqrt_info (mixing weighted
+    # loop closures with isotropic odometry edges is the common case)
+    si = None
+    if a.sqrt_info is not None or b.sqrt_info is not None:
+        def _or_eye(e: PoseGraphEdges):
+            if e.sqrt_info is not None:
+                return e.sqrt_info
+            eye = jnp.eye(6, dtype=e.R_rel.dtype)
+            return jnp.broadcast_to(eye, (e.i.shape[0], 6, 6))
+
+        si = jnp.concatenate([_or_eye(a), _or_eye(b)])
     return PoseGraphEdges(
         i=jnp.concatenate([a.i, b.i]),
         j=jnp.concatenate([a.j, b.j]),
         R_rel=jnp.concatenate([a.R_rel, b.R_rel]),
         t_rel=jnp.concatenate([a.t_rel, b.t_rel]),
         weight=jnp.concatenate([a.weight, b.weight]),
+        sqrt_info=si,
     )
 
 
@@ -91,7 +154,11 @@ def _edge_residuals(R, t, edges: PoseGraphEdges):
     R_err = jnp.einsum("eij,eik->ejk", edges.R_rel, R_ij, precision=_PREC)
     t_err = jnp.einsum("eij,ei->ej", edges.R_rel, t_ij - edges.t_rel, precision=_PREC)
     res = jax.vmap(geo.se3_log)(R_err, t_err)  # (E, 6)
-    return res * edges.weight[:, None]
+    res = res * edges.weight[:, None]
+    if edges.sqrt_info is not None:
+        # whiten: r' = L^T r so that ||r'||^2 = r^T Omega r
+        res = jnp.einsum("eba,eb->ea", edges.sqrt_info, res, precision=_PREC)
+    return res
 
 
 def _edge_jacobians(R, t, edges: PoseGraphEdges):
@@ -103,7 +170,7 @@ def _edge_jacobians(R, t, edges: PoseGraphEdges):
     forming the (6E, 6N) matrix the dense path uses.
     """
 
-    def one_edge(Ri, ti, Rj, tj, Rrel, trel, w):
+    def one_edge(Ri, ti, Rj, tj, Rrel, trel, w, L):
         def res(d):
             dRi, dti = geo.se3_exp(d[:6])
             dRj, dtj = geo.se3_exp(d[6:])
@@ -115,15 +182,57 @@ def _edge_jacobians(R, t, edges: PoseGraphEdges):
             t_ij = jnp.einsum("ij,i->j", Ri2, tj2 - ti2, precision=_PREC)
             R_err = jnp.einsum("ij,ik->jk", Rrel, R_ij, precision=_PREC)
             t_err = jnp.einsum("ij,i->j", Rrel, t_ij - trel, precision=_PREC)
-            return w * geo.se3_log(R_err, t_err)
+            r = w * geo.se3_log(R_err, t_err)
+            if L is not None:
+                r = jnp.einsum("ba,b->a", L, r, precision=_PREC)
+            return r
 
         J = jax.jacfwd(res)(jnp.zeros((12,), R.dtype))  # (6, 12)
         return J[:, :6], J[:, 6:]
 
-    return jax.vmap(one_edge)(
+    if edges.sqrt_info is not None:
+        return jax.vmap(one_edge)(
+            R[edges.i], t[edges.i], R[edges.j], t[edges.j],
+            edges.R_rel, edges.t_rel, edges.weight, edges.sqrt_info,
+        )
+    return jax.vmap(lambda Ri, ti, Rj, tj, Rrel, trel, w: one_edge(
+        Ri, ti, Rj, tj, Rrel, trel, w, None
+    ))(
         R[edges.i], t[edges.i], R[edges.j], t[edges.j],
         edges.R_rel, edges.t_rel, edges.weight,
     )
+
+
+def _robust_sqrt_weights(r: jnp.ndarray, robust: str, delta: float) -> jnp.ndarray:
+    """(E,) IRLS scale factors from the CURRENT whitened residuals r (E, 6).
+
+    Standard iteratively-reweighted least squares: each Gauss-Newton
+    iteration freezes a per-edge scalar w(||r_e||) and solves the weighted
+    quadratic; sqrt(w) multiplies the residual and both Jacobian blocks.
+
+      * ``huber``: w = min(1, delta/s) — bounded influence; inlier edges
+        (s <= delta) are untouched, outliers pull with constant force.
+      * ``geman``: Geman-McClure w = 1/(1 + (s/delta)^2)^2 — redescending;
+        gross outliers (false loop closures) are effectively switched off,
+        the same mechanism as dynamic covariance scaling in SLAM back ends.
+    """
+    s = jnp.linalg.norm(r, axis=-1)
+    if robust == "huber":
+        w = jnp.minimum(1.0, delta / jnp.maximum(s, 1e-12))
+    elif robust == "geman":
+        w = 1.0 / jnp.square(1.0 + jnp.square(s / delta))
+    else:
+        raise ValueError(f"unknown robust kernel {robust!r} (huber|geman)")
+    return jnp.sqrt(w).astype(r.dtype)
+
+
+def edge_robust_weights(
+    R: jnp.ndarray, t: jnp.ndarray, edges: PoseGraphEdges, robust: str, delta: float
+) -> jnp.ndarray:
+    """(E,) effective robust weights w at the given poses — diagnosis helper
+    (e.g. report which loop closures the refinement rejected)."""
+    r = _edge_residuals(R, t, edges)
+    return jnp.square(_robust_sqrt_weights(r, robust, delta))
 
 
 def _pcg(matvec, apply_minv, b, max_iters: int, tol: float):
@@ -216,6 +325,8 @@ def refine_pose_graph(
     solver: str = "auto",
     cg_iters: int | None = None,
     cg_tol: float = 1e-6,
+    robust: str | None = None,
+    robust_delta: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gauss-Newton pose-graph optimization; returns (R, t, residual_norms).
 
@@ -224,6 +335,26 @@ def refine_pose_graph(
     docstring). ``cg_iters`` defaults to 2N (chain graphs need ~diameter
     iterations to propagate a correction end to end); the tolerance exit
     fires much earlier on easy graphs.
+
+    ``robust``: optional IRLS kernel ("huber" | "geman") applied per edge on
+    the whitened residual norm with scale ``robust_delta`` — a false loop
+    closure is a gross outlier edge, and without a robust kernel a single
+    one deforms the whole graph (least squares has unbounded influence).
+    ``None`` preserves exact quadratic behavior; "huber" bounds an edge's
+    pull; "geman" (redescending, = dynamic covariance scaling) switches
+    gross outliers off entirely. Inlier edges with residual << delta are
+    essentially untouched. ``residual_norms`` reports the UNREWEIGHTED
+    norms, so convergence reads the same across kernels.
+
+    Choosing ``robust_delta``: it must sit between the inlier whitened
+    residual scale and the outlier's AT THE INITIAL poses — IRLS freezes
+    weights before the first solve, so a delta of the outlier's own scale
+    leaves it partially trusted, and a delta far above both lets the
+    solver fall into the poisoned basin where the outlier's residual is
+    small and never gets rejected (measured in
+    tests/test_pose_graph.py::test_geman_rejects_false_loop_closure).
+    With weight ~= 1/sigma edges the whitened inlier scale is ~1, hence
+    the default.
     """
     n = R0.shape[0]
     dtype = R0.dtype
@@ -232,15 +363,26 @@ def refine_pose_graph(
     if cg_iters is None:
         cg_iters = 2 * n
 
+    def _reweighted(R, t):
+        """IRLS: freeze per-edge robust scales at the current estimate and
+        fold them into the scalar edge weights for this iteration's
+        residuals AND Jacobians (scalar weight commutes with sqrt_info)."""
+        r0 = _edge_residuals(R, t, edges)
+        if robust is None:
+            return edges, r0, r0
+        sw = _robust_sqrt_weights(r0, robust, robust_delta)
+        return edges._replace(weight=edges.weight * sw), r0 * sw[:, None], r0
+
     def step_dense(carry, _):
         R, t = carry
+        e2, r, r_raw = _reweighted(R, t)
 
         def res_of(deltas):
             R2, t2 = _apply_deltas(R, t, deltas.reshape(n, 6))
-            return _edge_residuals(R2, t2, edges).reshape(-1)
+            return _edge_residuals(R2, t2, e2).reshape(-1)
 
         zero = jnp.zeros((n * 6,), dtype)
-        r = res_of(zero)
+        r = r.reshape(-1)
         J = jax.jacfwd(res_of)(zero)  # (6E, 6N)
         # gauge: zero out node-0 columns so its pose never moves
         mask = jnp.concatenate([jnp.zeros((6,), dtype), jnp.ones(((n - 1) * 6,), dtype)])
@@ -254,15 +396,15 @@ def refine_pose_graph(
         delta = delta * mask
         R2, t2 = _apply_deltas(R, t, delta.reshape(n, 6))
         R2 = jax.vmap(lambda m: geo.rotationize(m, "newton"))(R2)
-        return (R2, t2), jnp.linalg.norm(r)
+        return (R2, t2), jnp.linalg.norm(r_raw.reshape(-1))
 
     def step_cg(carry, _):
         R, t = carry
-        r = _edge_residuals(R, t, edges)  # (E, 6)
-        delta = _solve_cg(R, t, edges, r, damping, cg_iters, cg_tol)
+        e2, r, r_raw = _reweighted(R, t)  # (E, 6)
+        delta = _solve_cg(R, t, e2, r, damping, cg_iters, cg_tol)
         R2, t2 = _apply_deltas(R, t, delta)
         R2 = jax.vmap(lambda m: geo.rotationize(m, "newton"))(R2)
-        return (R2, t2), jnp.linalg.norm(r.reshape(-1))
+        return (R2, t2), jnp.linalg.norm(r_raw.reshape(-1))
 
     step = step_dense if solver == "dense" else step_cg
     (R_f, t_f), norms = jax.lax.scan(step, (R0, t0), None, length=iterations)

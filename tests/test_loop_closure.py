@@ -142,3 +142,66 @@ def test_refinement_pulls_drifted_trajectory_back():
     end_before = np.linalg.norm(t_d[-1] - t_gt[-1])
     end_after = np.linalg.norm(t_f[-1] - t_gt[-1])
     assert end_after < max(0.6 * end_before, 2e-3)
+
+
+def test_refine_with_information_weighted_odometry_edges():
+    """Heterogeneous confidence: half the chain's edges are accurate, half
+    noisy. Whitening odometry edges by per-edge information (accurate edges
+    stiff, noisy edges soft) must steer the loop-closure correction into the
+    noisy half — strictly better trajectory than the isotropic refine."""
+    rng = np.random.default_rng(7)
+    n = 12
+    # GT: straight line along x, identity rotations
+    t_gt = np.stack([np.array([0.1 * k, 0.0, 0.0]) for k in range(n)])
+    R_gt = np.stack([np.eye(3)] * n)
+    sig = np.array([0.0005] * 6 + [0.02] * (n - 1 - 6))  # per-edge noise level
+    Rs, ts = [R_gt[0]], [t_gt[0]]
+    for k in range(n - 1):
+        dt = t_gt[k + 1] - t_gt[k] + rng.normal(0, sig[k], 3)
+        nR, _ = geo.se3_exp(jnp.asarray(
+            np.concatenate([np.zeros(3), rng.normal(0, sig[k], 3)]), jnp.float32))
+        ts.append(ts[-1] + Rs[-1] @ dt)
+        Rs.append(Rs[-1] @ np.asarray(nR, np.float64))
+    R_d, t_d = np.stack(Rs), np.stack(ts)
+
+    intr = Intrinsics.from_config(CAM)
+    lc = LoopCloser(intr)
+    # exact closure last -> first, injected directly (detection tested above)
+    dR = R_gt[-1].T @ R_gt[0]
+    dt = R_gt[-1].T @ (t_gt[0] - t_gt[-1])
+    lc.closures.append((n - 1, 0, dR, dt, 30))
+
+    R_iso, t_iso, _ = lc.refine(R_d, t_d)
+    from rgbd_odometry_tpu.solvers.pose_graph import normalized_information_sqrt
+
+    info = np.stack([(1.0 / s**2) * np.eye(6) for s in sig]).astype(np.float32)
+    si = np.asarray(normalized_information_sqrt(jnp.asarray(info)))
+    R_w, t_w, norms = lc.refine(R_d, t_d, odo_sqrt_info=si)
+    err_iso = np.linalg.norm(t_iso - t_gt, axis=-1).mean()
+    err_w = np.linalg.norm(t_w - t_gt, axis=-1).mean()
+    assert err_w < 0.8 * err_iso, (err_w, err_iso)
+    # identity whitening reproduces the isotropic refine exactly
+    eye = np.broadcast_to(np.eye(6, dtype=np.float32), (n - 1, 6, 6))
+    _, t_eye, _ = lc.refine(R_d, t_d, odo_sqrt_info=eye)
+    np.testing.assert_allclose(t_eye, t_iso, atol=1e-5)
+
+
+def test_cli_dvo_weighted_refine(tmp_path, capsys):
+    """dvo --loop-close --weighted-refine: per-frame information collection,
+    scale normalization, and the whitened refinement all wire through the
+    public CLI; accuracy stays in the loop-closed envelope."""
+    import json
+
+    from rgbd_odometry_tpu.cli import main
+
+    est = str(tmp_path / "est.txt")
+    main(
+        [
+            "dvo", "--frames", "12", "--cam-scale", "0.5", "--iterations", "10,5,3,2",
+            "--keyframe-every", "3", "--loop-close", "--weighted-refine", "--out", est,
+        ]
+    )
+    out = capsys.readouterr()
+    assert "information-weighted odometry edges" in out.err
+    stats = json.loads(out.out.strip().splitlines()[-1])
+    assert stats["ate_rmse"] < 0.02
