@@ -39,6 +39,7 @@ _LAZY = {
     "Relocalizer": ("rgbd_odometry_tpu.pipeline.relocalize", "Relocalizer"),
     "refine_pose_graph": ("rgbd_odometry_tpu.solvers.pose_graph", "refine_pose_graph"),
     "information_sqrt": ("rgbd_odometry_tpu.solvers.pose_graph", "information_sqrt"),
+    "marginal_covariance": ("rgbd_odometry_tpu.solvers.pose_graph", "marginal_covariance"),
     "Intrinsics": ("rgbd_odometry_tpu.core.camera", "Intrinsics"),
     "FrameFeeder": ("rgbd_odometry_tpu.pipeline.feeder", "FrameFeeder"),
     "TumSource": ("rgbd_odometry_tpu.io.stream", "TumSource"),

@@ -709,6 +709,20 @@ def cmd_refine(args):
         summary["closure_robust_weights"] = [
             round(float(x), 4) for x in w_all[-n_lc:]
         ]
+    if args.covariance_out:
+        # anchor-relative 6x6 marginal covariance per node at the refined
+        # solution; robust weights frozen so rejected closures add no
+        # phantom confidence
+        from rgbd_odometry_tpu.solvers.pose_graph import marginal_covariance
+
+        cov = np.asarray(marginal_covariance(
+            R_f, t_f, edges, robust=args.robust, robust_delta=args.robust_delta,
+        ), np.float64)
+        np.save(args.covariance_out, cov)
+        summary["covariance_out"] = args.covariance_out
+        summary["covariance_trace_max"] = round(
+            float(np.trace(cov, axis1=-2, axis2=-1).max()), 6
+        )
     print(json.dumps(summary))
 
 
@@ -945,6 +959,7 @@ def main(argv=None):
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--robust", default=None, choices=["huber", "geman"], help="IRLS kernel on edge residuals: huber bounds an outlier edge's pull, geman (redescending) switches false loop closures off entirely")
     p.add_argument("--robust-delta", type=float, default=1.0, help="robust kernel scale in whitened-residual units")
+    p.add_argument("--covariance-out", default=None, help="save per-node anchor-relative 6x6 marginal covariance blocks (N,6,6 .npy) at the refined solution; honors --robust so rejected closures add no phantom confidence")
     p.set_defaults(fn=cmd_refine)
 
     p = sub.add_parser("fused", help="IMU prior + edge DVO + sparse-PnP fallback (BASELINE config 5)")

@@ -267,8 +267,13 @@ def _pcg(matvec, apply_minv, b, max_iters: int, tol: float):
     return x.astype(dtype)
 
 
-def _solve_cg(R, t, edges: PoseGraphEdges, r, damping, cg_iters, cg_tol):
-    """One GN delta via matrix-free PCG on the damped normal equations."""
+def _normal_ops(R, t, edges: PoseGraphEdges, damping):
+    """Matrix-free damped-normal-equation operators at linearization (R, t).
+
+    Returns (matvec, apply_minv, gather_grad): H-apply with node-0 gauge rows
+    acting as identity (node 0 fully decoupled, so gauge solutions stay
+    exact), a block-Jacobi preconditioner, and the J^T r gradient assembler.
+    Shared by the per-iteration CG solve and `marginal_covariance`."""
     n = R.shape[0]
     dtype = R.dtype
     A, B = _edge_jacobians(R, t, edges)  # (E, 6, 6) each
@@ -308,12 +313,22 @@ def _solve_cg(R, t, edges: PoseGraphEdges, r, damping, cg_iters, cg_tol):
     def apply_minv(v):
         return jnp.einsum("nab,nb->na", Dinv, v, precision=_PREC)
 
-    g = jnp.einsum("en,eb->nb", Si, jnp.einsum("eab,ea->eb", A, r, precision=_PREC),
-                   precision=_PREC)
-    g = g + jnp.einsum("en,eb->nb", Sj, jnp.einsum("eab,ea->eb", B, r, precision=_PREC),
+    def gather_grad(r):
+        g = jnp.einsum("en,eb->nb", Si,
+                       jnp.einsum("eab,ea->eb", A, r, precision=_PREC),
                        precision=_PREC)
-    g = g * node_mask
-    return _pcg(matvec, apply_minv, -g, cg_iters, cg_tol)
+        g = g + jnp.einsum("en,eb->nb", Sj,
+                           jnp.einsum("eab,ea->eb", B, r, precision=_PREC),
+                           precision=_PREC)
+        return g * node_mask
+
+    return matvec, apply_minv, gather_grad
+
+
+def _solve_cg(R, t, edges: PoseGraphEdges, r, damping, cg_iters, cg_tol):
+    """One GN delta via matrix-free PCG on the damped normal equations."""
+    matvec, apply_minv, gather_grad = _normal_ops(R, t, edges, damping)
+    return _pcg(matvec, apply_minv, -gather_grad(r), cg_iters, cg_tol)
 
 
 def refine_pose_graph(
@@ -409,3 +424,87 @@ def refine_pose_graph(
     step = step_dense if solver == "dense" else step_cg
     (R_f, t_f), norms = jax.lax.scan(step, (R0, t0), None, length=iterations)
     return R_f, t_f, norms
+
+
+def marginal_covariance(
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    edges: PoseGraphEdges,
+    nodes: jnp.ndarray | None = None,
+    damping: float = 1e-8,
+    solver: str = "auto",
+    cg_iters: int | None = None,
+    cg_tol: float = 1e-8,
+    robust: str | None = None,
+    robust_delta: float = 1.0,
+) -> jnp.ndarray:
+    """Per-node 6x6 marginal covariance blocks of the pose-graph estimate.
+
+    Linearizes the whitened edge residuals at (R, t) — normally the
+    `refine_pose_graph` solution — and extracts the diagonal blocks of
+    H^-1, H = J^T J: the classic SLAM uncertainty query (how sure is the
+    map about node k, relative to the gauge node 0). Twist coordinates
+    (translation, rotation), same layout as the solver's psi and
+    `edge_dvo.pose_covariance`; node 0 returns exact zeros. On a chain
+    the blocks grow ~linearly with distance from the anchor (odometry is
+    a random walk); a loop closure visibly collapses them — both pinned
+    in tests/test_pose_graph.py.
+
+    ``robust``: freeze the same IRLS weights `refine_pose_graph` used at
+    its solution, so an edge the refinement rejected (false loop closure
+    under "geman") contributes no phantom confidence here.
+
+    ``nodes``: optional (K,) int array — compute only these nodes'
+    blocks (returns (K, 6, 6)); None = all N (returns (N, 6, 6)). The
+    dense path inverts the full 6N x 6N H (right answer for N up to a
+    few hundred); the matrix-free path runs 6 PCG solves per requested
+    node, so pass ``nodes`` when querying a few poses of a big graph.
+    ``solver``: "dense" | "cg" | "auto" (dense for N <= 256).
+    """
+    n = R.shape[0]
+    dtype = R.dtype
+    if solver == "auto":
+        solver = "dense" if n <= 256 else "cg"
+    if cg_iters is None:
+        cg_iters = 4 * n  # covariance columns need tighter solves than GN steps
+    if robust is not None:
+        r0 = _edge_residuals(R, t, edges)
+        sw = _robust_sqrt_weights(r0, robust, robust_delta)
+        edges = edges._replace(weight=edges.weight * sw)
+
+    node_idx = jnp.arange(n) if nodes is None else jnp.asarray(nodes, jnp.int32)
+
+    if solver == "dense":
+        A, B = _edge_jacobians(R, t, edges)  # (E, 6, 6)
+        e = edges.i.shape[0]
+        Si = jax.nn.one_hot(edges.i, n, dtype=dtype)
+        Sj = jax.nn.one_hot(edges.j, n, dtype=dtype)
+        # dense J (6E, 6N) scattered via one-hot (no dynamic indexing)
+        J = jnp.einsum("en,eab->eanb", Si, A, precision=_PREC) + jnp.einsum(
+            "en,eab->eanb", Sj, B, precision=_PREC
+        )
+        J = J.reshape(e * 6, n * 6)
+        mask = jnp.concatenate(
+            [jnp.zeros((6,), dtype), jnp.ones(((n - 1) * 6,), dtype)]
+        )
+        J = J * mask[None, :]
+        H = jnp.einsum("ri,rj->ij", J, J, precision=_PREC)
+        H = H + damping * jnp.eye(n * 6, dtype=dtype) + (1.0 - mask[:, None]) * (
+            1.0 - mask[None, :]
+        ) * jnp.eye(n * 6, dtype=dtype)
+        cov = jnp.linalg.inv(H) * mask[:, None] * mask[None, :]
+        cov = cov.reshape(n, 6, n, 6)
+        return jax.vmap(lambda k: cov[k, :, k, :])(node_idx)
+
+    matvec, apply_minv, _ = _normal_ops(R, t, edges, damping)
+
+    def one_column(k, a):
+        rhs = jnp.zeros((n, 6), dtype).at[k, a].set(1.0)
+        x = _pcg(matvec, apply_minv, rhs, cg_iters, cg_tol)
+        return x[k]  # (6,) row a of node k's block
+
+    def one_node(k):
+        blk = jax.vmap(lambda a: one_column(k, a))(jnp.arange(6))
+        return blk * (k > 0)  # gauge node: exact zeros
+
+    return jax.vmap(one_node)(node_idx)
