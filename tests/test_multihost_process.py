@@ -30,8 +30,13 @@ def test_two_process_distributed_sequence_sweep(tmp_path):
     port = _free_port()
     nproc = 2
     outs = [str(tmp_path / f"w{i}.npz") for i in range(nproc)]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # the workers import the package from source: python adds the SCRIPT's
+    # dir (tests/) to sys.path, not the cwd, so the repo root must be on
+    # PYTHONPATH explicitly (the package is not pip-installed in this env)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), str(nproc), str(port), outs[i]],

@@ -23,5 +23,13 @@ inline CvImagePtr toCvCopy(const sensor_msgs::Image &, const std::string & = "")
   throw Exception("mini cv_bridge stub: live stream conversion unavailable offline");
 }
 
+// SolvePnP / RGBDOdometry live callbacks use the shared variant; the offline
+// harnesses drive the solvers directly, so this is compile-only surface.
+template <class TrackedPtr>
+inline CvImagePtr toCvShare(const sensor_msgs::Image &, const TrackedPtr &,
+                            const std::string & = "") {
+  throw Exception("mini cv_bridge stub: live stream conversion unavailable offline");
+}
+
 }  // namespace cv_bridge
 #endif

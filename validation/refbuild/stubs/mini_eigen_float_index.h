@@ -13,6 +13,11 @@ template <>
 struct is_valid_index_type<float> {
   enum { value = true };
 };
+// RGBDOdometry's `m(floor(outu), floor(outv))` subscripts are double
+template <>
+struct is_valid_index_type<double> {
+  enum { value = true };
+};
 }  // namespace internal
 }  // namespace Eigen
 #endif

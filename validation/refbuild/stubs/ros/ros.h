@@ -60,12 +60,19 @@ struct NodeHandle {
   Publisher advertise(const Topic &, uint32_t) {
     return Publisher();
   }
+  template <class M, class Topic>
+  Publisher advertise(const Topic &, uint32_t, bool /*latch*/) {
+    return Publisher();
+  }
 };
 
 namespace console {
 namespace levels {
 enum Level { Debug, Info, Warn, Error, Fatal };
 }
+// real ROS maps console levels to log4cxx levels here; the mini log4cxx
+// Logger::setLevel(int) ignores the value, so plain ints suffice.
+static const int g_level_lookup[] = {0, 1, 2, 3, 4};
 inline bool set_logger_level(const std::string &, levels::Level) { return true; }
 inline void notifyLoggerLevelsChanged() {}
 }  // namespace console
@@ -107,6 +114,13 @@ inline void notifyLoggerLevelsChanged() {}
   } while (0)
 
 #define ROS_INFO_STREAM(expr) MINI_ROS_LOGS("INFO", expr)
+// offline replay: throttled chatter is noise — drop it entirely
+#define ROS_INFO_THROTTLE(period, ...) \
+  do {                                 \
+  } while (0)
+#define ROS_INFO_STREAM_THROTTLE(period, expr) \
+  do {                                         \
+  } while (0)
 #define ROS_ERROR_STREAM(expr) MINI_ROS_LOGS("ERROR", expr)
 #define ROS_DEBUG_STREAM(expr) \
   do {                         \
