@@ -190,7 +190,9 @@ def cmd_dvo(args):
                 None if pi is None else np.asarray(pi[0]) / max(pi[1], 1e-12)
             )
 
-    def _maybe_register_keyframe(gray_np, depth_np):
+    map_clouds = [] if getattr(args, "map_out", None) else None
+
+    def _maybe_register_keyframe(gray_np=None, depth_np=None):
         # known cost when --loop-close AND --relocalize are both on: each
         # keyframe is detected/described twice (two independent
         # KeyframeMatcher stores with different match-gate configs — the
@@ -198,8 +200,13 @@ def cmd_dvo(args):
         # relocalizer 0.2). One extra ~RTT per KEYFRAME (not per frame);
         # fold into one shared store only if that combo becomes hot.
         m = odo.metrics[-1]
-        if closer is not None and m.keyframe_reason != 0:
+        if m.keyframe_reason == 0:
+            return
+        if closer is not None:
             closer.add_keyframe(m.frame_num, gray_np, depth_np)
+        if map_clouds is not None:
+            # semi-dense map: the keyframe's already-extracted edge cloud
+            map_clouds.append(odo.keyframe_cloud())
 
     trace_cm = None
     if args.trace_dir:
@@ -223,9 +230,9 @@ def cmd_dvo(args):
         # latency-hiding pipelined streaming: frame n+1's step dispatches
         # chained off frame n's in-flight device outputs; bit-identical to
         # the sequential loop (speculation discarded on keyframe switches)
-        if args.viz_dir or args.loop_close:
-            sys.exit("--pipelined is incompatible with --viz-dir/--loop-close "
-                     "(they need per-frame host access to the images)")
+        if args.viz_dir or args.loop_close or map_clouds is not None:
+            sys.exit("--pipelined is incompatible with --viz-dir/--loop-close/"
+                     "--map-out (they need per-frame host access)")
         from rgbd_odometry_tpu.pipeline.feeder import FrameFeeder
 
         feeder = FrameFeeder(frames, num_levels=odo.cfg.pyramid.num_levels)
@@ -243,6 +250,8 @@ def cmd_dvo(args):
                 viz.on_frame(odo, np.asarray(pyr.gray[0]), np.asarray(pyr.depth[0]))
             if closer is not None:
                 _maybe_register_keyframe(np.asarray(pyr.gray[0]), np.asarray(pyr.depth[0]))
+            elif map_clouds is not None:
+                _maybe_register_keyframe()
             _maybe_collect_info()
             n += 1
             _after(odo.metrics[-1])
@@ -256,6 +265,8 @@ def cmd_dvo(args):
                 viz.on_frame(odo, gray, depth)
             if closer is not None:
                 _maybe_register_keyframe(gray, depth)
+            elif map_clouds is not None:
+                _maybe_register_keyframe()
             _maybe_collect_info()
             n += 1
             _after(odo.metrics[-1])
@@ -313,6 +324,19 @@ def cmd_dvo(args):
             f"loop closures: {len(closer.closures)}; graph residual "
             f"{norms[0]:.4f} -> {norms[-1]:.4f}"
             + (" (information-weighted odometry edges)" if odo_si is not None else ""),
+            file=sys.stderr,
+        )
+    if map_clouds is not None and map_clouds:
+        # world-frame fused map through the (loop-refined, when --loop-close)
+        # global trajectory — the accumulated cloud the reference sketched
+        # (/root/reference/src/MentisVisualHandle.cpp:392-476)
+        from rgbd_odometry_tpu.viz.pointcloud import compose_map, write_ply
+
+        pts, _ids = compose_map(map_clouds, R, t)
+        write_ply(args.map_out, pts)
+        print(
+            f"map: {len(pts)} edge points from {len(map_clouds)} keyframes "
+            f"-> {args.map_out}",
             file=sys.stderr,
         )
     if viz is not None and n > 0:
@@ -906,6 +930,7 @@ def main(argv=None):
     )
     p.add_argument("--trace-dir", default=None, help="capture a jax.profiler device trace here")
     p.add_argument("--loop-close", action="store_true", help="detect loop closures between keyframes and refine the trajectory (pose-graph GN)")
+    p.add_argument("--map-out", help="write the fused semi-dense edge-point map (PLY): every keyframe's extracted edge cloud composed through the final (loop-refined with --loop-close) global trajectory")
     p.add_argument("--weighted-refine", action="store_true", help="with --loop-close: weight odometry edges by the solver's per-frame 6x6 information matrix (one extra on-demand dispatch per frame), so confidently tracked segments resist deformation and weakly-observed directions absorb the closure correction")
     p.add_argument("--pipelined", action="store_true", help="speculative streaming: next frame dispatches off in-flight device outputs (bit-identical trajectory; helps when dispatch is asynchronous — see BASELINE.md)")
     p.add_argument("--motion-model", default="hold", choices=["hold", "constant_velocity"], help="streaming warm-start model: hold the previous relative pose (reference behavior) or extrapolate it by the last inter-frame motion (device-composed, zero extra transfers)")

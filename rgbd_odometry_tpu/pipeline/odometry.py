@@ -591,6 +591,23 @@ class EdgeDvoOdometry:
         )
 
     # ------------------------------------------------------------------
+    def keyframe_cloud(self):
+        """(points (M,3) float64 metres in the keyframe's camera frame,
+        trajectory node index) of the CURRENT reference keyframe's edge
+        points — the semi-dense map primitive.
+
+        The points are the finest-level edge set the solver already extracted
+        (`RefLevel.pts3d`); composing them through the (optionally
+        loop-refined) global trajectory yields the accumulated map the
+        reference sketched and commented out
+        (/root/reference/src/MentisVisualHandle.cpp:392-476); see
+        viz/pointcloud.compose_map. One device_get, paid only when called
+        (opt-in per keyframe, not per frame)."""
+        f = self._ref_feats[0]
+        pts, valid = jax.device_get((f.pts3d, f.valid))
+        node = self.gop.keyframe_indices()[-1]
+        return np.asarray(pts, np.float64)[np.asarray(valid)], node
+
     def pose_information(self):
         """On-demand pose-uncertainty query for the LAST resolved frame:
         (info (6,6) float64, sigma2, n_eff) from edge_dvo.pose_information

@@ -40,6 +40,56 @@ def frame_to_cloud(
     return pts, g[valid]
 
 
+def compose_map(
+    clouds: list[tuple[np.ndarray, int]],
+    R_traj: np.ndarray,
+    t_traj: np.ndarray,
+):
+    """Fuse per-keyframe camera-frame clouds into one world-frame map.
+
+    ``clouds``: [(points (M_k, 3) metres in keyframe k's camera frame,
+    trajectory node index of keyframe k)] — the semi-dense edge clouds the
+    solver already extracts per keyframe (EdgeDvoOdometry.keyframe_cloud).
+    ``R_traj``/``t_traj``: (T,3,3)/(T,3) global trajectory — pass the
+    loop-refined poses to get the drift-corrected map.
+
+    This is the accumulated full-cloud map the reference sketched and
+    commented out (/root/reference/src/MentisVisualHandle.cpp:392-476),
+    built from edge points (the system's actual measurement support) instead
+    of full depth images. Returns (points (N,3) world, node_ids (N,)).
+    """
+    pts_all, ids = [], []
+    for pts, node in clouds:
+        if len(pts) == 0:
+            continue
+        R = np.asarray(R_traj[node], np.float64)
+        t = np.asarray(t_traj[node], np.float64)
+        pts_all.append(np.asarray(pts, np.float64) @ R.T + t)
+        ids.append(np.full(len(pts), node, np.int32))
+    if not pts_all:
+        return np.zeros((0, 3)), np.zeros((0,), np.int32)
+    return np.concatenate(pts_all), np.concatenate(ids)
+
+
+def map_consistency_error(
+    clouds: list[tuple[np.ndarray, int]],
+    R_est: np.ndarray,
+    t_est: np.ndarray,
+    R_gt: np.ndarray,
+    t_gt: np.ndarray,
+) -> float:
+    """Mean metre displacement of every map point between its estimated and
+    ground-truth placement. The per-keyframe clouds are exact geometry in
+    keyframe coordinates (they come straight from the keyframe's depth map),
+    so ALL map error is pose error — this isolates exactly what a trajectory
+    refinement changes about the map."""
+    a, _ = compose_map(clouds, R_est, t_est)
+    b, _ = compose_map(clouds, R_gt, t_gt)
+    if len(a) == 0:
+        return 0.0
+    return float(np.linalg.norm(a - b, axis=-1).mean())
+
+
 def write_ply(path: str, points: np.ndarray, intensities: np.ndarray | None = None):
     """ASCII PLY writer (positions + optional gray color)."""
     n = len(points)

@@ -79,10 +79,17 @@ def test_cli_fused(tmp_path, capsys):
 
 def test_cli_dvo_and_eval(tmp_path, capsys):
     est = str(tmp_path / "est.txt")
-    main(["dvo", "--frames", "5", "--iterations", "12,5,3,2", "--out", est])
+    ply = str(tmp_path / "map.ply")
+    main(["dvo", "--frames", "5", "--iterations", "12,5,3,2", "--out", est,
+          "--map-out", ply])
     out = capsys.readouterr()
     stats = json.loads(out.out.strip().splitlines()[-1])
     assert stats["ate_rmse"] < 0.02
+    with open(ply) as f:
+        header = [next(f) for _ in range(3)]
+    assert header[0].strip() == "ply"
+    n_pts = int(header[2].split()[-1])
+    assert n_pts > 100  # at least the first keyframe's edge cloud
     main(["eval", est, est])
     ev = json.loads(capsys.readouterr().out)
     assert ev["ate_rmse_raw"] == 0.0
