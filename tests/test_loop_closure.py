@@ -50,16 +50,23 @@ def test_cli_dvo_loop_close(tmp_path, capsys):
     from rgbd_odometry_tpu.cli import main
 
     est = str(tmp_path / "est.txt")
+    ply = str(tmp_path / "map.ply")
     main(
         [
             "dvo", "--frames", "12", "--cam-scale", "0.5", "--iterations", "10,5,3,2",
             "--keyframe-every", "3", "--loop-close", "--out", est,
+            "--map-out", ply,
         ]
     )
     out = capsys.readouterr()
     assert "loop closures:" in out.err
     stats = json.loads(out.out.strip().splitlines()[-1])
     assert stats["ate_rmse"] < 0.02
+    # the map composed through the LOOP-REFINED trajectory (the R,t handed to
+    # compose_map are post-refine)
+    assert "map:" in out.err
+    with open(ply) as f:
+        assert next(f).strip() == "ply"
 
 
 def test_slot_store_grows_past_initial_capacity():

@@ -38,8 +38,6 @@ import subprocess
 import sys
 import tempfile
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")  # tiny problems; skip the tunnel
-
 import numpy as np
 
 HERE = pathlib.Path(__file__).resolve().parent
@@ -48,6 +46,9 @@ sys.path.insert(0, str(REPO))
 
 import jax
 
+# tiny problems: run on CPU, skip the device tunnel (the env's sitecustomize
+# pins JAX_PLATFORMS, so the config flag is the only reliable override)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 
