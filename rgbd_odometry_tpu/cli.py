@@ -191,6 +191,28 @@ def cmd_dvo(args):
             )
 
     map_clouds = [] if getattr(args, "map_out", None) else None
+    refine_every = int(getattr(args, "refine_every", 0) or 0)
+    if refine_every and not args.loop_close:
+        sys.exit("--refine-every requires --loop-close")
+    # raw consecutive-frame relative poses, captured BEFORE any online
+    # refinement can rewrite trajectory history: the pristine odometry
+    # measurements every (re-)refinement derives its odometry edges from
+    # (see LoopCloser.refine edge_traj)
+    raw_rels: list = []
+    refine_state = {"kf": 0, "closures": 0}
+
+    def _capture_raw_rel():
+        els = odo.gop.elements
+        if len(els) >= 2:
+            a, b = els[-2], els[-1]
+            raw_rels.append((a.R.T @ b.R, a.R.T @ (b.t - a.t)))
+
+    def _raw_traj():
+        Rs, ts_ = [np.eye(3)], [np.zeros(3)]
+        for Rr, tr in raw_rels:
+            ts_.append(ts_[-1] + Rs[-1] @ tr)
+            Rs.append(Rs[-1] @ Rr)
+        return np.stack(Rs), np.stack(ts_)
 
     def _maybe_register_keyframe(gray_np=None, depth_np=None):
         # known cost when --loop-close AND --relocalize are both on: each
@@ -207,6 +229,30 @@ def cmd_dvo(args):
         if map_clouds is not None:
             # semi-dense map: the keyframe's already-extracted edge cloud
             map_clouds.append(odo.keyframe_cloud())
+        if refine_every and closer is not None:
+            # ONLINE drift correction: refine the graph so far and write the
+            # corrected poses back into the live trajectory, so subsequent
+            # frames compose from the refined anchor. Odometry edges always
+            # come from the raw chain (edge_traj), never from already-
+            # refined poses (LoopCloser.refine docstring).
+            refine_state["kf"] += 1
+            if (
+                refine_state["kf"] >= refine_every
+                and len(closer.closures) > refine_state["closures"]
+                # resumed runs have trajectory nodes predating this session's
+                # raw-rel capture — online refinement needs the full chain
+                and len(raw_rels) + 1 == len(odo.gop)
+            ):
+                norms = closer.refine_inplace(odo.gop, edge_traj=_raw_traj())
+                if norms is not None:
+                    refine_state["kf"] = 0
+                    refine_state["closures"] = len(closer.closures)
+                    print(
+                        f"online refine @frame {m.frame_num}: "
+                        f"{len(closer.closures)} closures, residual "
+                        f"{norms[0]:.4f} -> {norms[-1]:.4f}",
+                        file=sys.stderr,
+                    )
 
     trace_cm = None
     if args.trace_dir:
@@ -246,6 +292,8 @@ def cmd_dvo(args):
 
         for pyr, ts in FrameFeeder(frames, num_levels=odo.cfg.pyramid.num_levels):
             odo.process_pyramid(pyr, ts)
+            if refine_every:
+                _capture_raw_rel()
             if viz is not None:
                 viz.on_frame(odo, np.asarray(pyr.gray[0]), np.asarray(pyr.depth[0]))
             if closer is not None:
@@ -261,6 +309,8 @@ def cmd_dvo(args):
                 n += 1
                 continue
             odo.process_frame(gray, depth, ts)
+            if refine_every:
+                _capture_raw_rel()
             if viz is not None:
                 viz.on_frame(odo, gray, depth)
             if closer is not None:
@@ -318,8 +368,17 @@ def cmd_dvo(args):
                 odo_si = np.asarray(
                     normalized_information_sqrt(jnp.asarray(arr, jnp.float32))
                 )
-        # drift-correcting refinement over the detected loop closures
-        R, t, norms = closer.refine(R, t, odo_sqrt_info=odo_si)
+        # drift-correcting refinement over the detected loop closures; with
+        # --refine-every the trajectory was already partially refined online,
+        # so the odometry edges come from the raw captured chain
+        R, t, norms = closer.refine(
+            R, t, odo_sqrt_info=odo_si,
+            edge_traj=(
+                _raw_traj()
+                if (refine_every and len(raw_rels) + 1 == len(t))
+                else None
+            ),
+        )
         print(
             f"loop closures: {len(closer.closures)}; graph residual "
             f"{norms[0]:.4f} -> {norms[-1]:.4f}"
@@ -931,6 +990,7 @@ def main(argv=None):
     p.add_argument("--trace-dir", default=None, help="capture a jax.profiler device trace here")
     p.add_argument("--loop-close", action="store_true", help="detect loop closures between keyframes and refine the trajectory (pose-graph GN)")
     p.add_argument("--map-out", help="write the fused semi-dense edge-point map (PLY): every keyframe's extracted edge cloud composed through the final (loop-refined with --loop-close) global trajectory")
+    p.add_argument("--refine-every", type=int, default=0, metavar="K", help="with --loop-close: ONLINE pose-graph refinement — every K keyframes (when new closures exist) refine the trajectory so far and write the corrected poses back into the live GOP, so subsequent tracking composes from the refined anchor; odometry edges always derive from the raw captured chain")
     p.add_argument("--weighted-refine", action="store_true", help="with --loop-close: weight odometry edges by the solver's per-frame 6x6 information matrix (one extra on-demand dispatch per frame), so confidently tracked segments resist deformation and weakly-observed directions absorb the closure correction")
     p.add_argument("--pipelined", action="store_true", help="speculative streaming: next frame dispatches off in-flight device outputs (bit-identical trajectory; helps when dispatch is asynchronous — see BASELINE.md)")
     p.add_argument("--motion-model", default="hold", choices=["hold", "constant_velocity"], help="streaming warm-start model: hold the previous relative pose (reference behavior) or extrapolate it by the last inter-frame motion (device-composed, zero extra transfers)")

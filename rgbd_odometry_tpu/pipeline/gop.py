@@ -91,6 +91,25 @@ class Gop:
         self.last_key_R = el.R
         self.last_key_t = el.t
 
+    def set_poses(self, R: np.ndarray, t: np.ndarray):
+        """Replace every global pose (online pose-graph refinement write-back).
+
+        The reference's GOP only ever composes forward; a refinement that
+        corrects drift mid-run must re-anchor the whole log AND the
+        last-keyframe composition state, so every subsequent frame composes
+        from the REFINED keyframe pose (pipeline/loop_closure.refine_inplace).
+        """
+        assert len(R) == len(self.elements) == len(t)
+        last_kf = None
+        for el, Ri, ti in zip(self.elements, R, t):
+            el.R = np.asarray(Ri, np.float64)
+            el.t = np.asarray(ti, np.float64)
+            if el.is_keyframe:
+                last_kf = el
+        if last_kf is not None:
+            self.last_key_R = last_kf.R
+            self.last_key_t = last_kf.t
+
     def global_pose(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         """getGlobalPoseAt (/root/reference/include/GOP.h:84-86)."""
         el = self.elements[i]

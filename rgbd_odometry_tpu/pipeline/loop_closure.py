@@ -153,8 +153,18 @@ class LoopCloser:
         odo_sqrt_info: Optional[np.ndarray] = None,
         robust: Optional[str] = None,
         robust_delta: float = 1.0,
+        edge_traj: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Refine an absolute trajectory with the detected closures.
+
+        ``edge_traj``: optional (R_raw, t_raw) trajectory from which the
+        odometry edges are derived, when it differs from the INITIAL guess
+        (R, t). Required for repeated ONLINE refinement: deriving odometry
+        edges from an already-refined trajectory would make the refined
+        poses a zero-residual odometry solution, so each further refinement
+        pulls only toward the closures and the odometry measurements are
+        progressively forgotten. Passing the raw odometry chain keeps the
+        measurements pristine no matter how many times refinement runs.
 
         ``odo_sqrt_info``: optional (N-1, 6, 6) whitening factors for the
         odometry edges (see pose_graph.normalized_information_sqrt) — built
@@ -166,9 +176,10 @@ class LoopCloser:
         graph against FALSE loop closures (perceptual aliasing passes the
         PnP gate with a geometrically wrong pose); see
         pose_graph.refine_pose_graph."""
+        R_e, t_e = edge_traj if edge_traj is not None else (R, t)
         edges = odometry_edges(
-            jnp.asarray(R, jnp.float32),
-            jnp.asarray(t, jnp.float32),
+            jnp.asarray(R_e, jnp.float32),
+            jnp.asarray(t_e, jnp.float32),
             sqrt_info=(
                 None if odo_sqrt_info is None
                 else jnp.asarray(odo_sqrt_info, jnp.float32)
@@ -182,3 +193,22 @@ class LoopCloser:
             iterations=iterations, robust=robust, robust_delta=robust_delta,
         )
         return np.asarray(R_f, np.float64), np.asarray(t_f, np.float64), np.asarray(norms)
+
+    def refine_inplace(self, gop, **kw) -> Optional[np.ndarray]:
+        """ONLINE refinement: refine the trajectory logged so far and write
+        the corrected poses back into the live Gop — including its
+        last-keyframe composition state — so every SUBSEQUENT frame composes
+        from the refined anchor (Gop.set_poses). The solver's device-side
+        relative pose is untouched: a keyframe's local geometry does not
+        change, only its global placement.
+
+        Returns the refinement residual norms, or None when there is nothing
+        to refine (no closures yet, or a trivial trajectory). Call this every
+        few keyframes for incremental drift correction during streaming; the
+        end-of-run `refine` remains the final polish."""
+        if not self.closures or len(gop) < 2:
+            return None
+        R, t, _ = gop.poses()
+        R_f, t_f, norms = self.refine(R, t, **kw)
+        gop.set_poses(R_f, t_f)
+        return norms

@@ -212,3 +212,118 @@ def test_cli_dvo_weighted_refine(tmp_path, capsys):
     assert "information-weighted odometry edges" in out.err
     stats = json.loads(out.out.strip().splitlines()[-1])
     assert stats["ate_rmse"] < 0.02
+
+
+def _drifted_chain(poses, sigma=0.004, seed=3):
+    """Integrate GT relatives with noise -> (R_d, t_d, raw rel list)."""
+    R_gt = np.stack([p[0] for p in poses])
+    t_gt = np.stack([p[1] for p in poses])
+    rng = np.random.default_rng(seed)
+    Rs, ts, rels = [R_gt[0]], [t_gt[0]], []
+    for k in range(len(poses) - 1):
+        dR = R_gt[k].T @ R_gt[k + 1]
+        dt = R_gt[k].T @ (t_gt[k + 1] - t_gt[k])
+        noise = np.concatenate(
+            [rng.normal(0, sigma, 3), rng.normal(0, sigma, 3)]
+        ).astype(np.float32)
+        nR, nt = geo.se3_exp(jnp.asarray(noise))
+        dR = dR @ np.asarray(nR, np.float64)
+        dt = dt + np.asarray(nt, np.float64)
+        rels.append((dR, dt))
+        ts.append(ts[-1] + Rs[-1] @ dt)
+        Rs.append(Rs[-1] @ dR)
+    return np.stack(Rs), np.stack(ts), rels
+
+
+def test_online_refine_inplace_rewrites_live_gop():
+    """ONLINE refinement: refine_inplace writes corrected poses back into the
+    live Gop (incl. the last-keyframe composition state) so subsequent frames
+    compose from the refined anchor; odometry edges from the raw chain
+    (edge_traj) make repeated refinement a fixed point instead of
+    progressively forgetting the odometry measurements."""
+    from rgbd_odometry_tpu.pipeline.gop import Gop
+
+    psis = _out_and_back()
+    frames, poses = render_sequence(CAM, psis, seed=0)
+    t_gt = np.stack([p[1] for p in poses])
+    R_d, t_d, rels = _drifted_chain(poses)
+
+    intr = Intrinsics.from_config(CAM)
+    lc = LoopCloser(intr, LoopClosureConfig(min_separation=4))
+    for i, (g, d) in enumerate(frames):
+        lc.add_keyframe(i, g, d)
+    assert len(lc.closures)
+
+    # replicate the drifted trajectory in a live Gop (keyframe every 4)
+    gop = Gop()
+    gop.push_keyframe(0, 1, np.eye(3), np.zeros(3))
+    rel_R, rel_t = np.eye(3), np.zeros(3)
+    for k, (dR, dt) in enumerate(rels):
+        rel_t = rel_t + rel_R @ dt
+        rel_R = rel_R @ dR
+        if (k + 1) % 4 == 0:
+            gop.push_keyframe(k + 1, 5, rel_R, rel_t)
+            rel_R, rel_t = np.eye(3), np.zeros(3)
+        else:
+            gop.push_ordinary(k + 1, rel_R, rel_t)
+    R0, t0, _ = gop.poses()
+    np.testing.assert_allclose(t0, t_d, atol=1e-9)
+
+    norms = lc.refine_inplace(gop, edge_traj=(R_d, t_d))
+    assert norms is not None and norms[-1] < norms[0]
+    R1, t1, _ = gop.poses()
+    # write-back equals the pure refine on the same inputs
+    R_f, t_f, _ = lc.refine(R_d, t_d, edge_traj=(R_d, t_d))
+    np.testing.assert_allclose(t1, t_f, atol=1e-9)
+    # last-keyframe composition state re-anchored to the refined keyframe
+    kf_last = gop.keyframe_indices()[-1]
+    np.testing.assert_allclose(gop.last_key_t, t1[kf_last], atol=1e-12)
+    # trajectory improved vs GT
+    assert np.linalg.norm(t1 - t_gt, axis=-1).mean() < np.linalg.norm(
+        t0 - t_gt, axis=-1
+    ).mean()
+
+    # SUBSEQUENT frames compose from the refined anchor: pushing the same
+    # relative pose lands nearer GT than composing on the unrefined chain
+    future_rel_t = np.array([0.001, 0.0, 0.0])
+    gop.push_ordinary(len(t1), np.eye(3), future_rel_t)
+    t_next = gop.global_pose(-1)[1]
+    t_next_unrefined = t_d[kf_last] + R_d[kf_last] @ future_rel_t
+    gt_next = t_gt[kf_last] + np.stack([p[0] for p in poses])[kf_last] @ future_rel_t
+    assert np.linalg.norm(t_next - gt_next) < np.linalg.norm(
+        t_next_unrefined - gt_next
+    )
+
+    # fixed point with raw edges vs odometry forgetting without: a second
+    # refinement with raw edge_traj barely moves; rederiving edges from the
+    # refined poses (edge_traj=None) pulls further toward the closures
+    gop.elements.pop()  # drop the probe frame
+    R_before = [e.t.copy() for e in gop.elements]
+    lc.refine_inplace(gop, edge_traj=(R_d, t_d))
+    _, t2, _ = gop.poses()
+    move_raw = float(np.linalg.norm(t2 - np.stack(R_before), axis=-1).max())
+    lc.refine_inplace(gop)  # edges rederived from refined poses
+    _, t3, _ = gop.poses()
+    move_forget = float(np.linalg.norm(t3 - t2, axis=-1).max())
+    assert move_raw < 2e-3, move_raw
+    assert move_forget > 3 * move_raw or move_forget > 1e-3
+
+
+def test_cli_dvo_online_refine(tmp_path, capsys):
+    import json
+
+    from rgbd_odometry_tpu.cli import main
+
+    est = str(tmp_path / "est.txt")
+    main(
+        [
+            "dvo", "--frames", "12", "--cam-scale", "0.5", "--iterations",
+            "10,5,3,2", "--keyframe-every", "3", "--loop-close",
+            "--refine-every", "1", "--out", est,
+        ]
+    )
+    out = capsys.readouterr()
+    assert "online refine @frame" in out.err
+    assert "loop closures:" in out.err  # final polish still runs
+    stats = json.loads(out.out.strip().splitlines()[-1])
+    assert stats["ate_rmse"] < 0.02

@@ -127,6 +127,38 @@ def main(work: str) -> dict:
         if name in closures:
             ent["loop_closures"] = closures[name]
         row[name] = ent
+
+    # ---- map consistency (library-level, same frames): does the refined
+    # trajectory place the fused keyframe edge clouds closer to where exact
+    # GT places them? (viz/pointcloud.map_consistency_error: the clouds are
+    # exact geometry in keyframe coordinates, so all map error is pose error)
+    from rgbd_odometry_tpu.config import PipelineConfig, SolverConfig
+    from rgbd_odometry_tpu.pipeline.loop_closure import LoopCloser
+    from rgbd_odometry_tpu.pipeline.odometry import EdgeDvoOdometry
+    from rgbd_odometry_tpu.viz.pointcloud import map_consistency_error
+
+    odo = EdgeDvoOdometry(PipelineConfig(
+        camera=cam,
+        solver=SolverConfig(method="gauss_newton", iterations=(18, 6, 4, 3)),
+    ))
+    lc = LoopCloser(odo.intr)
+    clouds = []
+    for i, (g, d) in enumerate(frames):
+        odo.process_frame(g, d, timestamp=float(i))
+        if odo.metrics[-1].keyframe_reason != 0:
+            clouds.append(odo.keyframe_cloud())
+            lc.add_keyframe(odo.metrics[-1].frame_num, g, d)
+    R_o, t_o, _ = odo.trajectory()
+    gt_R = np.stack([p[0] for p in poses])
+    R_f, t_f, _ = lc.refine(R_o, t_o)
+    row["map_consistency_mm"] = {
+        "keyframes": len(clouds),
+        "points": int(sum(len(p) for p, _ in clouds)),
+        "odometry": round(1000 * map_consistency_error(
+            clouds, R_o, t_o, gt_R, t_gt), 2),
+        "loop_refined": round(1000 * map_consistency_error(
+            clouds, R_f, t_f, gt_R, t_gt), 2),
+    }
     print(json.dumps(row), flush=True)
     return row
 
