@@ -247,6 +247,7 @@ def cmd_dvo(args):
                 if norms is not None:
                     refine_state["kf"] = 0
                     refine_state["closures"] = len(closer.closures)
+                    odo.sync_reloc_db()  # keep recovery anchors refined
                     print(
                         f"online refine @frame {m.frame_num}: "
                         f"{len(closer.closures)} closures, residual "

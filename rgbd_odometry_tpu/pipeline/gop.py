@@ -49,6 +49,7 @@ class Gop:
     elements: List[GopElement] = field(default_factory=list)
     last_key_R: np.ndarray = field(default_factory=lambda: np.eye(3))
     last_key_t: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    last_key_index: int = -1  # element index of the current last keyframe
 
     def _compose(self, rel_R: np.ndarray, rel_t: np.ndarray):
         """global = lastKey ∘ rel (/root/reference/src/GOP.cpp:138-146)."""
@@ -68,6 +69,7 @@ class Gop:
         self.elements.append(GopElement(frame_num, True, reason, g_R, g_t, timestamp))
         self.last_key_R = g_R
         self.last_key_t = g_t
+        self.last_key_index = len(self.elements) - 1
 
     def push_keyframe_absolute(
         self, frame_num: int, reason: int, R: np.ndarray, t: np.ndarray, timestamp: float = 0.0
@@ -80,6 +82,7 @@ class Gop:
         self.elements.append(GopElement(frame_num, True, reason, g_R, g_t, timestamp))
         self.last_key_R = g_R
         self.last_key_t = g_t
+        self.last_key_index = len(self.elements) - 1
 
     def update_most_recent_to_keyframe(self, reason: int):
         """Promote frame n-1 to keyframe during rollback
@@ -90,6 +93,7 @@ class Gop:
         el.reason = reason
         self.last_key_R = el.R
         self.last_key_t = el.t
+        self.last_key_index = len(self.elements) - 1
 
     def set_poses(self, R: np.ndarray, t: np.ndarray):
         """Replace every global pose (online pose-graph refinement write-back).

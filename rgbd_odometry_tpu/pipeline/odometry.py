@@ -293,7 +293,8 @@ class EdgeDvoOdometry:
         )
         if self._reloc is not None:
             self._reloc.add_keyframe(
-                pyr.gray[0], pyr.depth[0], self.gop.last_key_R, self.gop.last_key_t
+                pyr.gray[0], pyr.depth[0], self.gop.last_key_R,
+                self.gop.last_key_t, node=self.gop.last_key_index,
             )
         self._prev_pyr = pyr
         return self.gop.global_pose(0)
@@ -384,6 +385,7 @@ class EdgeDvoOdometry:
                 self._reloc.add_keyframe(
                     self._prev_pyr.gray[0], self._prev_pyr.depth[0],
                     self.gop.last_key_R, self.gop.last_key_t,
+                    node=self.gop.last_key_index,
                 )
         elif reason != 0 and not kf_cfg.rollback_resolve:
             # __OLD__REF_UPDATE naive variant (:2166-2191): current frame
@@ -397,6 +399,7 @@ class EdgeDvoOdometry:
                 self._reloc.add_keyframe(
                     pyr.gray[0], pyr.depth[0],
                     self.gop.last_key_R, self.gop.last_key_t,
+                    node=self.gop.last_key_index,
                 )
             self._record(frame_num, solve_ms, finest, b_cap, vis, reason, False)
             self._prev_pyr = pyr
@@ -446,7 +449,8 @@ class EdgeDvoOdometry:
         # the recovered frame is itself a healthy keyframe with a verified
         # global pose — future losses can re-anchor against it
         self._reloc.add_keyframe(
-            pyr.gray[0], pyr.depth[0], self.gop.last_key_R, self.gop.last_key_t
+            pyr.gray[0], pyr.depth[0], self.gop.last_key_R,
+            self.gop.last_key_t, node=self.gop.last_key_index,
         )
         self._record(
             frame_num, solve_ms, finest, b_cap, vis, REASON_RELOCALIZED, False
@@ -607,6 +611,16 @@ class EdgeDvoOdometry:
         pts, valid = jax.device_get((f.pts3d, f.valid))
         node = self.gop.keyframe_indices()[-1]
         return np.asarray(pts, np.float64)[np.asarray(valid)], node
+
+    def sync_reloc_db(self) -> int:
+        """Refresh the relocalizer database's stored global poses from the
+        current trajectory — call after an online pose-graph refinement
+        rewrites the Gop (loop_closure.refine_inplace), so a later recovery
+        re-anchors onto refined poses instead of pre-refinement drift.
+        Returns the number of refreshed entries (0 when --relocalize off)."""
+        if self._reloc is None:
+            return 0
+        return self._reloc.update_poses(self.gop)
 
     def pose_information(self):
         """On-demand pose-uncertainty query for the LAST resolved frame:

@@ -63,6 +63,11 @@ class Relocalizer:
             seed=seed,
         )
         self.poses: List[Tuple[np.ndarray, np.ndarray]] = []  # global (R, t)
+        # trajectory node index of each stored keyframe (None when the
+        # caller didn't provide one): lets an online pose-graph refinement
+        # refresh the stored global poses (update_poses) instead of leaving
+        # the database anchored to pre-refinement drift
+        self.nodes: List[Optional[int]] = []
         self.attempts: int = 0
         self.successes: int = 0
 
@@ -70,7 +75,14 @@ class Relocalizer:
         return len(self.poses)
 
     # ------------------------------------------------------------------
-    def add_keyframe(self, gray, depth_mm, R_global: np.ndarray, t_global: np.ndarray) -> bool:
+    def add_keyframe(
+        self,
+        gray,
+        depth_mm,
+        R_global: np.ndarray,
+        t_global: np.ndarray,
+        node: Optional[int] = None,
+    ) -> bool:
         """Register a healthy tracking keyframe and its global pose.
 
         Unverifiable frames are rejected — they could never anchor a
@@ -92,7 +104,26 @@ class Relocalizer:
         self.poses.append(
             (np.asarray(R_global, np.float64).copy(), np.asarray(t_global, np.float64).copy())
         )
+        self.nodes.append(None if node is None else int(node))
         return True
+
+    def update_poses(self, gop) -> int:
+        """Refresh stored global poses from a (refined) trajectory.
+
+        After an online pose-graph refinement rewrites the live Gop
+        (loop_closure.refine_inplace), the database's anchor poses are stale
+        — a recovery would re-anchor the trajectory onto pre-refinement
+        drift. Every entry stored with a `node` is re-read from the Gop;
+        entries without one (legacy callers) are left as stored. Returns the
+        number of refreshed entries."""
+        n = 0
+        for k, node in enumerate(self.nodes):
+            if node is not None and node < len(gop):
+                R, t = gop.global_pose(node)
+                self.poses[k] = (np.asarray(R, np.float64).copy(),
+                                 np.asarray(t, np.float64).copy())
+                n += 1
+        return n
 
     # ------------------------------------------------------------------
     def relocalize(self, gray) -> Optional[RelocResult]:

@@ -232,3 +232,44 @@ def test_reloc_config_serialization_roundtrip():
     assert cfg2.relocalize.enabled
     with pytest.raises(ValueError):
         RelocalizeConfig(trigger_consecutive=0)
+
+
+def test_reloc_database_poses_refresh_after_online_refinement():
+    """An online pose-graph refinement rewrites the live trajectory; the
+    appearance database's stored anchor poses must follow (update_poses /
+    EdgeDvoOdometry.sync_reloc_db), or a later recovery re-anchors the run
+    onto pre-refinement drift."""
+    from rgbd_odometry_tpu.pipeline.gop import Gop
+
+    psis = _smooth_psis(8)
+    frames, poses = render_sequence(CAM, psis, seed=0)
+    intr = Intrinsics.from_config(CAM)
+    reloc = Relocalizer(intr, RELOC)
+
+    gop = Gop()
+    gop.push_keyframe(0, 1, np.eye(3), np.zeros(3))
+    for k in (3, 6):
+        R, t = poses[k]
+        gop.push_keyframe_absolute(k, 5, R, t)
+    for slot, k in enumerate((0, 3, 6)):
+        g, d = frames[k]
+        R, t = gop.global_pose(slot)
+        assert reloc.add_keyframe(g, d, R, t, node=slot)
+
+    # "refinement": shift every pose by a known correction
+    R_all, t_all, _ = gop.poses()
+    delta = np.array([0.05, -0.02, 0.01])
+    gop.set_poses(R_all, t_all + delta)
+
+    refreshed = reloc.update_poses(gop)
+    assert refreshed == 3
+    for slot, k in enumerate((0, 3, 6)):
+        np.testing.assert_allclose(
+            reloc.poses[slot][1], t_all[slot] + delta, atol=1e-12
+        )
+    # recovery now composes from the refined anchor: the recovered global
+    # pose carries the correction
+    res = reloc.relocalize(frames[4][0])
+    assert res is not None
+    t_gt = poses[4][1] + delta
+    assert 1000 * np.linalg.norm(res.t - t_gt) < 15.0
