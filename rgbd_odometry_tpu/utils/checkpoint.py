@@ -108,6 +108,10 @@ def load_odometry(path: str) -> "EdgeDvoOdometry":
                 timestamp=e["timestamp"],
             )
         )
+    # derived, not serialized: element index of the current last keyframe
+    # (relocalizer node bookkeeping reads it at registration time)
+    kf_idx = [i for i, e in enumerate(odo.gop.elements) if e.is_keyframe]
+    odo.gop.last_key_index = kf_idx[-1] if kf_idx else -1
     n_levels = int(meta["num_levels"])
     if f"ref0_pts3d" in data:
         odo._ref_feats = tuple(
