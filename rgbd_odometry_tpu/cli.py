@@ -722,6 +722,10 @@ def cmd_fused(args):
         )
         n += 1
     R, t, ts_arr = fused.trajectory()
+    if args.imu_refine:
+        # the synthetic windows are gravity-free / from-rest (see above), so
+        # the refine defaults (zero gravity, zero velocities) match them
+        R, t, ts_arr = fused.refine_with_imu(imu_weight=args.imu_weight)
     if args.out:
         from rgbd_odometry_tpu.io.tum import write_trajectory
 
@@ -733,6 +737,9 @@ def cmd_fused(args):
         gt_R, gt_t = gt
         n2 = min(len(t), len(gt_t))
         summary["ate_rmse"] = ate_rmse(t[:n2], gt_t[:n2], align=False)
+        if args.imu_refine:
+            R0, t0, _ = fused.trajectory()
+            summary["ate_rmse_unrefined"] = ate_rmse(t0[:n2], gt_t[:n2], align=False)
     print(json.dumps(summary))
 
 
@@ -1055,6 +1062,8 @@ def main(argv=None):
     p.add_argument("--keyframe-every", type=int, default=5)
     p.add_argument("--no-imu", action="store_true")
     p.add_argument("--imu-noise", type=float, default=0.0, help="gyro noise sigma (rad/s); accel gets 10x")
+    p.add_argument("--imu-refine", action="store_true", help="post-run visual-inertial polish: preintegrated IMU edges + visual odometry chain in one pose graph")
+    p.add_argument("--imu-weight", type=float, default=3.0, help="IMU edge weight relative to weight-1 visual edges (--imu-refine)")
     p.set_defaults(fn=cmd_fused)
 
     p = sub.add_parser("dump", help="write reference-format XML pyramid dumps (__ENABLE_IM_WRITE__)")

@@ -60,6 +60,9 @@ class FusedOdometry:
         self._match = jax.jit(feat.match)
         self.fallback_frames: List[int] = []
         self._prev_frame: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        # frame n -> raw (accels, gyros, dt) window covering motion n-1 -> n,
+        # kept for the optional post-run visual-inertial graph polish
+        self._imu_windows: dict = {}
 
     # ------------------------------------------------------------------
     def _imu_prior(self, accels, gyros, dt):
@@ -134,6 +137,8 @@ class FusedOdometry:
         frame_is_first = self.odo._frame_num < 0
         last_ref_before = self.odo._last_ref_frame
         pose = self.odo.process_frame(gray, depth_mm, timestamp, pose_prior=prior)
+        if imu_window is not None:
+            self._imu_windows[self.odo._frame_num] = imu_window
         if frame_is_first:
             self._refresh_kf_features(gray, depth_mm)
             self._prev_frame = (gray, depth_mm)
@@ -175,3 +180,73 @@ class FusedOdometry:
 
     def trajectory(self):
         return self.odo.trajectory()
+
+    def refine_with_imu(self, gravity=(0.0, 0.0, 0.0), velocities=None,
+                        imu_weight: float = 3.0, iterations: int = 10):
+        """Post-run visual-inertial polish: the recorded IMU windows become
+        preintegrated pose-graph edges beside the visual odometry chain (see
+        `refine_trajectory_with_imu` for the gravity/velocity conventions).
+        Returns (R, t, stamps) of the refined trajectory."""
+        R, t, stamps = self.trajectory()
+        Rr, tr = refine_trajectory_with_imu(
+            R, t, stamps, self._imu_windows, self._imu_intr,
+            gravity=gravity, velocities=velocities,
+            imu_weight=imu_weight, iterations=iterations)
+        return Rr, tr, stamps
+
+
+def refine_trajectory_with_imu(
+    R: np.ndarray,  # (N, 3, 3) estimated global rotations
+    t: np.ndarray,  # (N, 3) estimated global positions
+    stamps: np.ndarray,  # (N,) seconds
+    windows: dict,  # frame n -> (accels (T,3), gyros (T,3), dt) covering n-1 -> n
+    intr: imu_mod.ImuIntrinsics,
+    gravity=(0.0, 0.0, 0.0),
+    velocities: Optional[np.ndarray] = None,
+    imu_weight: float = 3.0,
+    iterations: int = 10,
+):
+    """Polish a visual trajectory with preintegrated IMU edges — the
+    visual-inertial completion of `cli refine`.
+
+    Builds consecutive-frame odometry edges from the estimated trajectory
+    (zero-residual by construction — they encode the visual estimate's
+    shape) plus one preintegrated IMU edge per frame that has a window,
+    then solves the joint pose graph. The IMU edges are the independent
+    measurement: where the visual estimate drifted, they pull it back.
+
+    ``gravity`` / ``velocities`` fix the preintegration-to-pose conversion's
+    linearization: the synthetic CLI windows are generated gravity-free
+    under a from-rest assumption per interval (cmd_fused), so the defaults
+    (zero gravity, zero velocities) match them exactly; real-IMU callers
+    pass `imu.DEFAULT_GRAVITY` and `imu.velocities_from_trajectory(t,
+    stamps)`. Returns (R, t) refined, float64."""
+    from rgbd_odometry_tpu.solvers import pose_graph as pg
+
+    n = len(t)
+    Rj = jnp.asarray(R, jnp.float32)
+    tj = jnp.asarray(t, jnp.float32)
+    dvo = pg.odometry_edges(Rj, tj, weight=1.0)
+
+    frames = sorted(k for k in windows if 1 <= k < n)
+    if not frames:
+        return np.asarray(R, np.float64), np.asarray(t, np.float64)
+    pres = [
+        imu_mod.preintegrate(
+            jnp.asarray(a, jnp.float32), jnp.asarray(w, jnp.float32), intr, dt=float(d)
+        )
+        for (a, w, d) in (windows[k] for k in frames)
+    ]
+    pres = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+    idx_j = jnp.asarray(frames, jnp.int32)
+    idx_i = idx_j - 1
+    if velocities is None:
+        v_i = jnp.zeros((len(frames), 3), jnp.float32)
+    else:
+        v_i = jnp.asarray(velocities, jnp.float32)[idx_i]
+    imu_edges = imu_mod.imu_relative_pose_edges(
+        idx_i, idx_j, Rj[idx_i], v_i, pres, gravity=gravity, weight=imu_weight
+    )
+    edges = pg.concat_edges(dvo, imu_edges)
+    Rr, tr, _ = pg.refine_pose_graph(Rj, tj, edges, iterations=iterations)
+    return np.asarray(Rr, np.float64), np.asarray(tr, np.float64)

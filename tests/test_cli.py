@@ -69,11 +69,15 @@ def test_cli_fused(tmp_path, capsys):
     """BASELINE.json config 5 through the CLI: IMU prior + edge DVO +
     PnP-fallback wiring runs end-to-end and stays accurate."""
     est = str(tmp_path / "fused.txt")
-    main(["fused", "--frames", "6", "--iterations", "10,5,3,2", "--out", est])
+    main(["fused", "--frames", "6", "--iterations", "10,5,3,2", "--out", est,
+          "--imu-refine"])
     out = capsys.readouterr()
     summary = json.loads(out.out.strip().splitlines()[-1])
     assert summary["frames"] == 6
     assert summary["ate_rmse"] < 0.02
+    # the refined trajectory must not be worse than the visual estimate
+    # (exact synthetic IMU windows); equality happens if the solve is a no-op
+    assert summary["ate_rmse"] <= summary["ate_rmse_unrefined"] + 1e-4
     assert np.loadtxt(est, comments="#").shape[0] == 6
 
 

@@ -206,3 +206,54 @@ def test_velocities_from_trajectory():
     # interior: central diff O(h^2); endpoints one-sided O(h)
     np.testing.assert_allclose(v[1:-1], v_gt[1:-1], atol=5e-3)
     np.testing.assert_allclose(v[[0, -1]], v_gt[[0, -1]], atol=6e-2)
+
+
+def test_refine_trajectory_with_imu():
+    """Visual-inertial polish: exact rest-assumption IMU windows (the
+    cmd_fused synthetic convention) pull a drift-corrupted visual trajectory
+    back toward GT through the joint pose graph."""
+    from rgbd_odometry_tpu.pipeline.fused import refine_trajectory_with_imu
+
+    rng = np.random.default_rng(31)
+    n, dt = 12, 1.0 / 30.0
+    # GT: smooth relative motion chain
+    gt_R = [np.eye(3, dtype=np.float64)]
+    gt_t = [np.zeros(3)]
+    rels = []
+    for k in range(n - 1):
+        psi = np.concatenate([rng.normal(0, 0.01, 3), rng.normal(0, 0.008, 3)])
+        Rr, tr = geo.se3_exp(jnp.asarray(psi, jnp.float32))
+        rels.append((np.asarray(Rr, np.float64), np.asarray(tr, np.float64)))
+        gt_R.append(gt_R[-1] @ rels[-1][0])
+        gt_t.append(gt_t[-1] + gt_R[-2] @ rels[-1][1])
+    gt_R, gt_t = np.stack(gt_R), np.stack(gt_t)
+
+    # visual estimate: the same chain with drift noise on every relative pose
+    est_R, est_t = [gt_R[0]], [gt_t[0]]
+    for (Rr, tr) in rels:
+        dpsi = np.concatenate([rng.normal(0, 0.004, 3), rng.normal(0, 0.003, 3)])
+        Rn, tn = geo.se3_exp(jnp.asarray(dpsi, jnp.float32))
+        Rc = Rr @ np.asarray(Rn, np.float64)
+        tc = tr + np.asarray(tn, np.float64)
+        est_R.append(est_R[-1] @ Rc)
+        est_t.append(est_t[-1] + est_R[-2] @ tc)
+    est_R, est_t = np.stack(est_R), np.stack(est_t)
+
+    # exact gravity-free / from-rest 1-sample windows reproducing GT rels
+    windows = {}
+    for k, (Rr, tr) in enumerate(rels, start=1):
+        w = np.asarray(geo.so3_log(jnp.asarray(Rr, jnp.float32))) / dt
+        a = 2.0 * tr / (dt * dt)
+        windows[k] = (a[None, :].astype(np.float32),
+                      np.asarray(w)[None, :].astype(np.float32), dt)
+
+    intr = imu.ImuIntrinsics.from_scalars()
+    stamps = np.arange(n) * dt
+    Rf, tf = refine_trajectory_with_imu(
+        est_R, est_t, stamps, windows, intr, imu_weight=5.0)
+
+    def ate(tt):
+        return float(np.mean(np.linalg.norm(tt - gt_t, axis=1)))
+
+    e_before, e_after = ate(est_t), ate(tf)
+    assert e_after < 0.6 * e_before, (e_before, e_after)
