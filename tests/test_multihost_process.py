@@ -17,6 +17,10 @@ import numpy as np
 import pytest
 
 
+# spawns two fresh Python processes, each paying full jax import + compile
+pytestmark = pytest.mark.slow
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))

@@ -27,10 +27,13 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REFBUILD = os.path.join(os.path.dirname(HERE), "validation", "refbuild")
 N_FRAMES = 10
 
-pytestmark = pytest.mark.skipif(
-    not (os.path.isdir(REF) and shutil.which("g++")),
-    reason="reference sources or toolchain unavailable",
-)
+pytestmark = [
+    pytest.mark.slow,  # compiles the upstream C++ tree: minutes, not seconds
+    pytest.mark.skipif(
+        not (os.path.isdir(REF) and shutil.which("g++")),
+        reason="reference sources or toolchain unavailable",
+    ),
+]
 
 
 def _binary(xml_dir: str, workdir: str) -> str:

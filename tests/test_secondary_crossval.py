@@ -28,10 +28,13 @@ REF = "/root/reference"
 HERE = os.path.dirname(os.path.abspath(__file__))
 REFBUILD = os.path.join(os.path.dirname(HERE), "validation", "refbuild")
 
-pytestmark = pytest.mark.skipif(
-    not (os.path.isdir(REF) and shutil.which("g++")),
-    reason="reference sources or toolchain unavailable",
-)
+pytestmark = [
+    pytest.mark.slow,  # compiles three upstream C++ solvers: minutes
+    pytest.mark.skipif(
+        not (os.path.isdir(REF) and shutil.which("g++")),
+        reason="reference sources or toolchain unavailable",
+    ),
+]
 
 
 def test_upstream_imu_and_pnp_match_exactly(tmp_path):
