@@ -337,11 +337,6 @@ class PipelineConfig:
     solver: SolverConfig = field(default_factory=SolverConfig)
     keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
     relocalize: RelocalizeConfig = field(default_factory=RelocalizeConfig)
-    # reserved: pipeline-wide compute dtype (kept for config-file/checkpoint
-    # compatibility; currently only "float32" is meaningful — the shipped
-    # reduced-precision path is SolverConfig.gather_dtype, which feeds the
-    # stacked DT/gradient channels to the MXU gathers in bfloat16)
-    dtype: str = "float32"
     # streaming warm-start motion model: "hold" re-uses the previous relative
     # pose (the reference's implicit behavior, /root/reference/src/SolveDVO.cpp
     # :2117-2120 — cR/cT persist across loop() iterations); "constant_velocity"
@@ -379,6 +374,8 @@ class PipelineConfig:
             solver=SolverConfig(**sol),
             keyframe=KeyframeConfig(**d.get("keyframe", {})),
             relocalize=RelocalizeConfig(**d.get("relocalize", {})),
-            dtype=d.get("dtype", "float32"),
+            # "dtype" was a reserved no-op knob (removed round 4); old config
+            # files / checkpoints that still carry it load fine — the only
+            # real reduced-precision switch is SolverConfig.gather_dtype
             motion_model=d.get("motion_model", "hold"),
         )
