@@ -13,74 +13,224 @@ distance transform + DT gradients at 4 levels) and runs the coarse-to-fine
 solve against the current keyframe's features; keyframe features are
 re-extracted every `KEYFRAME_EVERY`=5 frames
 (/root/reference/src/SolveDVO.cpp:2155-2160) and that cost is amortized in.
-Timing uses distinct input batches per rep (this backend can elide repeated
-work) and blocks on all retained outputs.
+
+Batches are HETEROGENEOUS: every batch element is a distinct rendered
+frame-pair (its own relative pose; scenes cycle over `N_SCENES` seeds), so
+no cross-element redundancy exists for the compiler or caches to exploit.
+Timing uses distinct input batches per rep and blocks on all retained
+outputs.
+
+Wall-clock budget: the whole script self-limits to `BENCH_BUDGET_S` seconds
+(default 270) and ALWAYS prints a parseable JSON line within it. The
+measurement runs in a child process that checkpoints its best-so-far record
+to a file after every milestone; the parent enforces the deadline and prints
+the latest record (marked `"degraded": true` if the child had to be cut off
+or trimmed its protocol to fit). Lost-round prevention: round 4's driver run
+was killed by an external `timeout` before the old script printed anything
+(BENCH_r04.json rc=124, parsed=null).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import tempfile
 import time
 
-import numpy as np
-
 KEYFRAME_EVERY = 5
+DEFAULT_BUDGET_S = 270.0
+N_SCENES = 16  # distinct synthetic scenes cycled across the batch
+METRIC = (
+    "edge-DVO frame alignments/sec/chip (320x240, 4-level Canny+EDT+solve "
+    f"per frame, keyframe features re-extracted every {KEYFRAME_EVERY} frames)"
+)
 
 
-def _backend_reachable(attempts: int = 3, timeout_s: float = 180.0) -> bool:
+def _write_record(rec: dict) -> None:
+    """Checkpoint the best-so-far record for the parent to print."""
+    path = os.environ.get("_BENCH_RESULT_FILE")
+    if not path:
+        print(json.dumps(rec))
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    os.replace(tmp, path)
+
+
+def _parent() -> None:
+    budget = float(os.environ.get("BENCH_BUDGET_S", DEFAULT_BUDGET_S))
+    fd, result_path = tempfile.mkstemp(prefix="bench_result_", suffix=".json")
+    os.close(fd)
+    env = dict(
+        os.environ,
+        _BENCH_INNER="1",
+        _BENCH_RESULT_FILE=result_path,
+        # leave the parent a margin to collect + print inside the budget
+        _BENCH_DEADLINE=str(time.time() + budget - 8.0),
+    )
+    import subprocess
+
+    timed_out = False
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+            env=env,
+            timeout=max(budget - 5.0, 10.0),
+            stdout=subprocess.DEVNULL,  # the parent owns stdout: ONE JSON line
+        )
+    except subprocess.TimeoutExpired:
+        timed_out = True
+    except Exception:  # noqa: BLE001 — never let the parent die silently
+        timed_out = True
+    text = ""
+    try:
+        with open(result_path) as f:
+            text = f.read().strip()
+    except OSError:
+        pass
+    try:
+        os.unlink(result_path)
+    except OSError:
+        pass
+    if text:
+        rec = json.loads(text.splitlines()[-1])
+        if timed_out:
+            rec["degraded"] = True
+            rec["note"] = (
+                str(rec.get("note", ""))
+                + f" child cut off at the {budget:.0f}s budget"
+            ).strip()
+    else:
+        rec = {
+            "metric": METRIC,
+            "value": None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "degraded": True,
+            "error": f"no milestone completed within the {budget:.0f}s budget",
+        }
+    print(json.dumps(rec))
+
+
+def _backend_reachable(remaining_s: float) -> bool:
     """Probe device-backend init in a SUBPROCESS with a hard timeout.
 
     On this environment the TPU arrives through a tunnel; when the tunnel is
     down, `jax.devices()` blocks indefinitely (observed 2026-08-18: probes
-    hang past 180 s for hours) and would hang the driver's bench run with
-    it. A subprocess probe can be killed; the main process only initializes
-    the backend after a probe succeeds. Retries cover transient outages."""
+    hang past 180 s for hours). A subprocess probe can be killed; the main
+    process only initializes the backend after a probe succeeds."""
     import subprocess
 
-    for i in range(attempts):
+    attempts = 3
+    while attempts > 0 and remaining_s > 12.0:
+        per_probe = min(150.0, max(8.0, remaining_s - 8.0))
+        t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=timeout_s,
+                timeout=per_probe,
                 capture_output=True,
             )
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        if i + 1 < attempts:
-            time.sleep(60)
+        attempts -= 1
+        remaining_s -= time.time() - t0
+        if attempts > 0 and remaining_s > 45.0:
+            time.sleep(15)
+            remaining_s -= 15.0
     return False
 
 
-def main() -> None:
-    if not _backend_reachable():
+def _render_batch(cam, batch: int, set_idx: int):
+    """Render `batch` DISTINCT frame pairs: per-element relative poses around
+    a set-specific base twist, scenes cycling over N_SCENES seeds.
+
+    supersample=1 keeps the host-side ray casting within the bench budget
+    (~0.03 s/frame); edge structure and density match the ss=3 renders the
+    accuracy suites use, which is what drives the timed work."""
+    import numpy as np
+
+    from rgbd_odometry_tpu.io.synthetic import SyntheticScene
+
+    base_psis = [
+        np.array([0.01, -0.008, 0.005, 0.004, -0.006, 0.003], np.float32),
+        np.array([-0.012, 0.006, 0.002, -0.003, 0.005, 0.002], np.float32),
+    ]
+    base = base_psis[set_idx % len(base_psis)]
+    rng = np.random.default_rng(97 + set_idx)
+    # distinct per-element twists: +-30% per-component scale + small offset,
+    # all well inside the solver's convergence basin
+    psis = base[None, :] * (1.0 + 0.3 * rng.uniform(-1, 1, (batch, 6))) + (
+        0.002 * rng.uniform(-1, 1, (batch, 6))
+    )
+    psis = psis.astype(np.float32)
+
+    from rgbd_odometry_tpu.core import geometry as geo
+    import jax.numpy as jnp
+
+    scenes = [
+        SyntheticScene(seed=1000 * set_idx + s) for s in range(N_SCENES)
+    ]
+    ref_renders = [
+        sc.render(cam, np.eye(3), np.zeros(3), supersample=1) for sc in scenes
+    ]
+    rg = np.stack([ref_renders[i % N_SCENES][0] for i in range(batch)])
+    rd = np.stack([ref_renders[i % N_SCENES][1] for i in range(batch)])
+    ng = np.empty_like(rg)
+    nd = np.empty_like(rd)
+    for i in range(batch):
+        R, t = geo.se3_exp(jnp.asarray(psis[i]))
+        g, d = scenes[i % N_SCENES].render(
+            cam, np.asarray(R, np.float64), np.asarray(t, np.float64), 1
+        )
+        ng[i] = g
+        nd[i] = d
+    return rg, rd, ng, nd
+
+
+def _inner() -> None:
+    deadline = float(os.environ["_BENCH_DEADLINE"])
+
+    def remaining() -> float:
+        return deadline - time.time()
+
+    rec: dict = {
+        "metric": METRIC,
+        "value": None,
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "stage": "backend-probe",
+    }
+    _write_record(rec)
+
+    if not _backend_reachable(remaining()):
         # value/vs_baseline are null, NOT 0: a zero would be recorded as a
         # catastrophic perf regression by anything that keys on "value";
         # null + error is unambiguous "no measurement taken"
-        print(
-            json.dumps(
-                {
-                    "metric": "edge-DVO frame alignments/sec/chip",
-                    "value": None,
-                    "unit": "frames/s/chip",
-                    "vs_baseline": None,
-                    "error": (
-                        "device backend unreachable (3 probes timed out at "
-                        "180 s — tunnel down); no measurement taken"
-                    ),
-                }
-            )
+        rec["error"] = (
+            "device backend unreachable (probes timed out — tunnel down); "
+            "no measurement taken"
         )
+        rec.pop("stage", None)
+        _write_record(rec)
         return
+
     import jax
+
+    # persistent compile cache: repeat bench runs on this host skip the
+    # ~20-40 s jit compiles entirely (keyed on computation hash)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rgbd_odometry_tpu_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
+    import numpy as np
 
     from rgbd_odometry_tpu.config import CameraConfig, SolverConfig
     from rgbd_odometry_tpu.core.camera import Intrinsics
     from rgbd_odometry_tpu.core.pyramid import build_pyramid
-    from rgbd_odometry_tpu.io.synthetic import render_pair
     from rgbd_odometry_tpu.solvers import edge_dvo
 
     # r3 B-sweep on v5e: 64 -> 3.95k, 128 -> 4.23k, 256 -> 4.54k, 512 -> 3.45k
@@ -95,45 +245,36 @@ def main() -> None:
     max_pts = (2048, 1024, 512, 512)
     # production LM profile: accuracy measured equal to the reference's
     # 50-iteration schedule on the synthetic suite (0.1-0.5px reprojection);
-    # lm_jacobian_stride=8 verified at equal pose error on 3 scenes
-    # (tools/profile_variants.py + 3-scene align_pair check, r2)
-    # edt_window=16 + unnormalized (pixel-unit) DT: exact distances <= 16 px,
-    # ~10x cheaper row phase than the full min-plus; the robust weight
-    # 6/(6+r^2) makes residuals beyond ~10 px negligible, and the 6-family
-    # accuracy sweep (r3) measured equal-or-BETTER errors than window 32 on
-    # every family x magnitude combo (step time 46.5 -> 37.6 ms at batch 256)
+    # lm_jacobian_stride=8 verified at equal pose error on 3 scenes.
+    # edt_window=16 + unnormalized (pixel-unit) DT: exact distances <= 16 px;
+    # the 6-family accuracy sweep (r3) measured equal-or-BETTER errors than
+    # window 32 on every family x magnitude combo
     cfg = SolverConfig(
         method="gauss_newton",
         iterations=(18, 6, 4, 3),
         lm_jacobian_stride=8,
         edt_window=16,
         normalize_dt=False,
-        # deferred-accept LM: the next iteration's gather doubles as the
-        # accept verdict (identical recovery on the accuracy suite)
         lm_deferred_accept=True,
         extract_selection="segmented",
     )
     intr = Intrinsics.from_config(cam)
 
-    # three distinct input batches so no stage can be elided across reps
-    psis = [
-        np.array([0.01, -0.008, 0.005, 0.004, -0.006, 0.003], np.float32),
-        np.array([-0.012, 0.006, 0.002, -0.003, 0.005, 0.002], np.float32),
-        np.array([0.006, 0.004, -0.008, 0.002, 0.003, -0.004], np.float32),
-    ]
+    rec["stage"] = "render"
+    _write_record(rec)
+
+    # two distinct heterogeneous batches so no stage can be elided across reps
+    n_sets = 2
     sets = []
-    for s in range(3):
-        (rg, rd), (ng, nd), _ = render_pair(cam, psis[s], seed=s)
+    for s in range(n_sets):
+        rg, rd, ng, nd = _render_batch(cam, batch, s)
         ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), num_levels)
         now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), num_levels)
-        sets.append(
-            (
-                tuple(jnp.stack([g] * batch) for g in ref.gray),
-                tuple(jnp.stack([d] * batch) for d in ref.depth),
-                tuple(jnp.stack([g] * batch) for g in now.gray),
-            )
-        )
+        sets.append((ref.gray, ref.depth, now.gray))
     jax.block_until_ready(sets)
+
+    rec["stage"] = "compile-headline"
+    _write_record(rec)
 
     # production keyframe path: a keyframe is always a frame whose targets
     # (incl. Canny edge maps) the step just computed — extraction reuses
@@ -147,9 +288,7 @@ def main() -> None:
             )
         )
     )
-    ref_edges = [
-        tuple(t.edges for t in f_tgt(s_[0])) for s_ in sets
-    ]
+    ref_edges = [tuple(t.edges for t in f_tgt(s_[0])) for s_ in sets]
     jax.block_until_ready(ref_edges)
     f_step = jax.jit(
         jax.vmap(
@@ -160,51 +299,65 @@ def main() -> None:
     )
     featsets = [f_ref_e(s_[0], s_[1], ref_edges[i]) for i, s_ in enumerate(sets)]
     jax.block_until_ready(featsets)
-    outs = [f_step(featsets[i], sets[i][2]) for i in range(3)]
+    outs = [f_step(featsets[i], sets[i][2]) for i in range(n_sets)]
     jax.block_until_ready(outs)  # warm both executables
 
-    reps = 6
+    rec["stage"] = "measure-headline"
+    _write_record(rec)
+
+    reps = 6 if remaining() > 40.0 else 2
     t0 = time.perf_counter()
-    rs = [f_step(featsets[i % 3], sets[i % 3][2]) for i in range(reps)]
+    rs = [f_step(featsets[i % n_sets], sets[i % n_sets][2]) for i in range(reps)]
     jax.block_until_ready(rs)
     step_s = (time.perf_counter() - t0) / reps
 
-    rs = [f_ref_e(sets[i][0], sets[i][1], ref_edges[i]) for i in range(3)]
-    jax.block_until_ready(rs)  # warm
     t0 = time.perf_counter()
-    rs = [f_ref_e(sets[i % 3][0], sets[i % 3][1], ref_edges[i % 3]) for i in range(reps)]
+    rs = [
+        f_ref_e(sets[i % n_sets][0], sets[i % n_sets][1], ref_edges[i % n_sets])
+        for i in range(reps)
+    ]
     jax.block_until_ready(rs)
     ref_s = (time.perf_counter() - t0) / reps
 
     per_frame = step_s + ref_s / KEYFRAME_EVERY
     pairs_per_s = batch / per_frame
 
+    rec.update(
+        value=round(pairs_per_s, 2),
+        vs_baseline=round(pairs_per_s / 1000.0, 4),
+        extras={
+            "batch": batch,
+            "distinct_pairs_per_batch": batch,
+            "distinct_scenes": N_SCENES,
+            "reps": reps,
+        },
+    )
+    if reps < 6:
+        rec["degraded"] = True
+        rec["note"] = "reps trimmed to fit the wall-clock budget"
+    rec.pop("stage", None)
+    _write_record(rec)  # the headline is now safe whatever happens below
+
     # ---- secondary recordings (same chip, same run) -----------------------
     # never allowed to endanger the headline metric: wrapped so any
-    # compile/runtime failure degrades to extras=<error> instead
-    try:
-        extras = _extras(jax, jnp, edge_dvo, intr, featsets, sets, cfg, ref_s, batch)
-    except Exception as e:  # noqa: BLE001
-        extras = {"error": str(e)[:200], "batch": batch}
-
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "edge-DVO frame alignments/sec/chip (320x240, 4-level Canny+EDT+solve "
-                    f"per frame, keyframe features re-extracted every {KEYFRAME_EVERY} frames)"
-                ),
-                "value": round(pairs_per_s, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(pairs_per_s / 1000.0, 4),
-                "extras": extras,
-            }
-        )
-    )
+    # compile/runtime failure degrades to an extras error field instead
+    if remaining() > 50.0:
+        try:
+            rec["extras"].update(
+                _extras(jax, edge_dvo, intr, featsets, sets, ref_s, batch, remaining)
+            )
+        except Exception as e:  # noqa: BLE001
+            rec["extras"]["extras_error"] = str(e)[:200]
+    else:
+        rec["extras"]["extras_skipped"] = "budget"
+    _write_record(rec)
 
 
-def _extras(jax, jnp, edge_dvo, intr, featsets, sets, cfg, ref_s, batch):
+def _extras(jax, edge_dvo, intr, featsets, sets, ref_s, batch, remaining):
     from rgbd_odometry_tpu.config import SolverConfig
+
+    n_sets = len(sets)
+    out: dict = {}
 
     # (a) reference-parity sub-gradient mode (50 itr x 4 levels, float32
     #     floor gathers) — the mode whose schedule is oracle-verified
@@ -216,49 +369,55 @@ def _extras(jax, jnp, edge_dvo, intr, featsets, sets, cfg, ref_s, batch):
             )[:2]
         )
     )
-    sub_out = [f_sub(featsets[i], sets[i][2]) for i in range(2)]
+    sub_out = [f_sub(featsets[i % n_sets], sets[i % n_sets][2]) for i in range(2)]
     jax.block_until_ready(sub_out)
     t0 = time.perf_counter()
-    rs = [f_sub(featsets[i % 3], sets[i % 3][2]) for i in range(3)]
+    rs = [f_sub(featsets[i % n_sets], sets[i % n_sets][2]) for i in range(3)]
     jax.block_until_ready(rs)
     sub_per_frame = (time.perf_counter() - t0) / 3 + ref_s / KEYFRAME_EVERY
-    subgradient_fps = batch / sub_per_frame
+    out["subgradient_parity_frames_per_s"] = round(batch / sub_per_frame, 2)
+
+    if remaining() < 40.0:
+        out["extras_skipped"] = "budget (after subgradient row)"
+        return out
 
     # (b) streaming mode: ONE pair in flight (the reference's own operating
     #     regime — its loop targets 35 Hz, /root/reference/src/SolveDVO.cpp:1945)
+    cfg = SolverConfig(
+        method="gauss_newton",
+        iterations=(18, 6, 4, 3),
+        lm_jacobian_stride=8,
+        edt_window=16,
+        normalize_dt=False,
+        lm_deferred_accept=True,
+        extract_selection="segmented",
+    )
     f_step1 = jax.jit(
         lambda feats, ng: edge_dvo.solve_pyramid(
             feats, edge_dvo.prepare_now_targets(ng, cfg), intr, cfg
         )[:2]
     )
     feats1 = jax.tree_util.tree_map(lambda x: x[0], featsets[0])
-    nows1 = [tuple(g[0] for g in s[2]) for s in sets]
-    out = [f_step1(feats1, n) for n in nows1]
-    jax.block_until_ready(out)
+    nows1 = [tuple(g[i] for g in sets[i % n_sets][2]) for i in range(3)]
+    o = [f_step1(feats1, n) for n in nows1]
+    jax.block_until_ready(o)
     t0 = time.perf_counter()
     n_stream = 30
     for i in range(n_stream):
-        out = f_step1(feats1, nows1[i % 3])
+        o = f_step1(feats1, nows1[i % 3])
         # block every iteration: ONE pair in flight is the point of this
         # metric (async dispatch would otherwise pipeline all 30 solves)
-        jax.block_until_ready(out)
-    streaming_hz = n_stream / (time.perf_counter() - t0)
+        jax.block_until_ready(o)
+    out["streaming_single_pair_hz"] = round(n_stream / (time.perf_counter() - t0), 2)
 
     # (c) lockstep multi-stream driver: 8 live cameras on one chip through
-    #     the production streaming path (parallel/streams.py) — per-frame
-    #     Hz of the whole 8-stream front (1 dispatch + 1 device_get/frame).
-    #     Opt-in (BENCH_MULTISTREAM=1): its fresh 8-stream 4-level compiles
-    #     add ~15 min through the remote compile server (measured 2026-08-17:
-    #     60.3 frames/s aggregate over the tunnel, ~7.5 Hz/stream — pure
-    #     RTT, like streaming_single_pair_hz; recorded in BASELINE.md)
-    import os
-
-    if os.environ.get("BENCH_MULTISTREAM", "") != "1":
-        return {
-            "subgradient_parity_frames_per_s": round(subgradient_fps, 2),
-            "streaming_single_pair_hz": round(streaming_hz, 2),
-            "batch": batch,
-        }
+    #     the production streaming path (parallel/streams.py). Opt-in
+    #     (BENCH_MULTISTREAM=1): its fresh 8-stream 4-level compiles add
+    #     ~15 min through the remote compile server (measured 2026-08-17:
+    #     60.3 frames/s aggregate over the tunnel — pure RTT-bound;
+    #     recorded in BASELINE.md)
+    if os.environ.get("BENCH_MULTISTREAM", "") != "1" or remaining() < 60.0:
+        return out
     import numpy as np
 
     from rgbd_odometry_tpu.config import (
@@ -284,21 +443,25 @@ def _extras(jax, jnp, edge_dvo, intr, featsets, sets, cfg, ref_s, batch):
         np.stack([np.asarray(s[2][0][i % batch]) for i in range(n_streams)])
         for s in sets
     ]
-    d_b = np.stack([np.asarray(sets[0][1][0][i % batch]) for i in range(n_streams)])
+    d_b = np.stack(
+        [np.asarray(sets[0][1][0][i % batch]) for i in range(n_streams)]
+    )
     for i in range(8):  # warm both executables incl. a keyframe step
-        ms.process_batch(g_b[i % 3], d_b, timestamp=i / 30.0)
+        ms.process_batch(g_b[i % n_sets], d_b, timestamp=i / 30.0)
     t0 = time.perf_counter()
     n_ms = 30
     for i in range(n_ms):
-        ms.process_batch(g_b[i % 3], d_b, timestamp=(8 + i) / 30.0)
+        ms.process_batch(g_b[i % n_sets], d_b, timestamp=(8 + i) / 30.0)
     multistream_hz = n_ms / (time.perf_counter() - t0)
+    out["multistream_8cam_frames_per_s"] = round(multistream_hz * n_streams, 2)
+    return out
 
-    return {
-        "subgradient_parity_frames_per_s": round(subgradient_fps, 2),
-        "streaming_single_pair_hz": round(streaming_hz, 2),
-        "multistream_8cam_frames_per_s": round(multistream_hz * n_streams, 2),
-        "batch": batch,
-    }
+
+def main() -> None:
+    if os.environ.get("_BENCH_INNER") == "1":
+        _inner()
+    else:
+        _parent()
 
 
 if __name__ == "__main__":
