@@ -31,3 +31,27 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the measured slow-test manifest (tests/slow_manifest.txt).
+
+    The fast tier (`pytest -m "not slow"`) must stay green in <5 minutes
+    cold on this single-core host, where jit compiles dominate wall time.
+    Rather than hand-marking dozens of tests, the tier is defined by a
+    committed manifest of measured-slow nodeids; new tests default to the
+    fast tier until a `tools/run_suite.py --retier` run measures them.
+    """
+    manifest = os.path.join(os.path.dirname(__file__), "slow_manifest.txt")
+    try:
+        with open(manifest) as f:
+            slow_ids = {
+                line.strip() for line in f if line.strip() and not line.startswith("#")
+            }
+    except OSError:
+        return
+    slow_marker = pytest.mark.slow
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if nodeid in slow_ids or nodeid.split("[")[0] in slow_ids:
+            item.add_marker(slow_marker)
