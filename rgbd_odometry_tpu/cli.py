@@ -176,10 +176,24 @@ def cmd_dvo(args):
 
         closer = LoopCloser(odo.intr)
     info_recs = None
+    # --weighted-refine weights odometry EDGES, which only exist in graph
+    # mode — it implies the pose-graph path (reanchor has no odometry edges)
+    refine_mode = getattr(args, "refine_mode", "reanchor")
     if getattr(args, "weighted_refine", False):
         if not args.loop_close:
             sys.exit("--weighted-refine requires --loop-close")
+        refine_mode = "graph"
         info_recs = []
+
+    def _refine_report(norms) -> str:
+        if refine_mode == "reanchor":
+            if len(norms) == 0:
+                return "no closure passed the re-anchor separation gate"
+            return (
+                f"{len(norms)} re-anchor corrections applied, "
+                f"{1000.0 * float(np.sum(norms)):.1f} mm total"
+            )
+        return f"graph residual {norms[0]:.4f} -> {norms[-1]:.4f}"
 
     def _maybe_collect_info():
         # per-frame J^T W J / sigma^2 for information-weighted refinement
@@ -243,15 +257,17 @@ def cmd_dvo(args):
                 # raw-rel capture — online refinement needs the full chain
                 and len(raw_rels) + 1 == len(odo.gop)
             ):
-                norms = closer.refine_inplace(odo.gop, edge_traj=_raw_traj())
+                norms = closer.refine_inplace(
+                    odo.gop, edge_traj=_raw_traj(), mode=refine_mode
+                )
                 if norms is not None:
                     refine_state["kf"] = 0
                     refine_state["closures"] = len(closer.closures)
                     odo.sync_reloc_db()  # keep recovery anchors refined
                     print(
                         f"online refine @frame {m.frame_num}: "
-                        f"{len(closer.closures)} closures, residual "
-                        f"{norms[0]:.4f} -> {norms[-1]:.4f}",
+                        f"{len(closer.closures)} closures, "
+                        + _refine_report(norms),
                         file=sys.stderr,
                     )
 
@@ -373,7 +389,7 @@ def cmd_dvo(args):
         # --refine-every the trajectory was already partially refined online,
         # so the odometry edges come from the raw captured chain
         R, t, norms = closer.refine(
-            R, t, odo_sqrt_info=odo_si,
+            R, t, odo_sqrt_info=odo_si, mode=refine_mode,
             edge_traj=(
                 _raw_traj()
                 if (refine_every and len(raw_rels) + 1 == len(t))
@@ -381,8 +397,7 @@ def cmd_dvo(args):
             ),
         )
         print(
-            f"loop closures: {len(closer.closures)}; graph residual "
-            f"{norms[0]:.4f} -> {norms[-1]:.4f}"
+            f"loop closures: {len(closer.closures)}; " + _refine_report(norms)
             + (" (information-weighted odometry edges)" if odo_si is not None else ""),
             file=sys.stderr,
         )
@@ -996,7 +1011,8 @@ def main(argv=None):
         help="async prefetch thread overlapping host decode with device solve",
     )
     p.add_argument("--trace-dir", default=None, help="capture a jax.profiler device trace here")
-    p.add_argument("--loop-close", action="store_true", help="detect loop closures between keyframes and refine the trajectory (pose-graph GN)")
+    p.add_argument("--loop-close", action="store_true", help="detect loop closures between keyframes and refine the trajectory (rigid re-anchoring by default, see --refine-mode)")
+    p.add_argument("--refine-mode", default="reanchor", choices=["reanchor", "graph"], help="with --loop-close: 'reanchor' (default) concentrates each closure's correction at its revisit node, leaving unrevisited segments untouched — measured to improve BOTH full ATE and endpoint error, where pose-graph smearing trades interior accuracy for the endpoint; 'graph' runs the pose-graph GN over odometry+closure edges")
     p.add_argument("--map-out", help="write the fused semi-dense edge-point map (PLY): every keyframe's extracted edge cloud composed through the final (loop-refined with --loop-close) global trajectory")
     p.add_argument("--refine-every", type=int, default=0, metavar="K", help="with --loop-close: ONLINE pose-graph refinement — every K keyframes (when new closures exist) refine the trajectory so far and write the corrected poses back into the live GOP, so subsequent tracking composes from the refined anchor; odometry edges always derive from the raw captured chain")
     p.add_argument("--weighted-refine", action="store_true", help="with --loop-close: weight odometry edges by the solver's per-frame 6x6 information matrix (one extra on-demand dispatch per frame), so confidently tracked segments resist deformation and weakly-observed directions absorb the closure correction")

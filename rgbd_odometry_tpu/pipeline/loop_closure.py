@@ -55,6 +55,14 @@ class LoopClosureConfig:
     min_depth_mm: float = 100.0  # usable-keypoint depth gate (matches FeatureVo)
     # initial keyframe-slot capacity (doubles when full; see KeyframeMatcher)
     slot_capacity: int = 64
+    # re-anchoring correction gate: only closures spanning at least this many
+    # trajectory nodes are APPLIED (all closures are still detected/recorded).
+    # A short-baseline closure carries ~one keyframe-step of drift signal but
+    # full PnP measurement noise, so applying it moves the whole downstream
+    # trajectory by what is mostly noise; measured on the r5 loop sweeps
+    # (validation/refbuild/loop_sweep.py) the separation gate rejects exactly
+    # the closures whose measurement error exceeded the drift they corrected
+    min_loop_separation: int = 8
 
 
 @dataclass
@@ -145,6 +153,64 @@ class LoopCloser:
         w = jnp.full((len(self.closures),), self.cfg.edge_weight, dtype)
         return PoseGraphEdges(i=i, j=j, R_rel=R_rel, t_rel=t_rel, weight=w)
 
+    def reanchor(
+        self, R: np.ndarray, t: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Rigid segment re-anchoring: concentrate each closure's correction
+        at its target node instead of smearing it along the chain.
+
+        For each applied closure (i -> j), the SE(3) discrepancy between the
+        trajectory's pose of node j and the closure-implied pose T_i * rel is
+        applied RIGIDLY to every node >= j (a pose jump at the revisit, the
+        standard online-SLAM behavior). Nodes before j — in particular the
+        unrevisited middle of the trajectory — are left untouched.
+
+        Why this is the default over pose-graph smearing: edge-DVO odometry
+        drift is SYSTEMATIC (motion-correlated, partially self-cancelling on
+        return legs), not the white per-edge noise a pose graph models.
+        Measured on the r5 loop sweeps, graph refinement improves the
+        endpoint but WORSENS full-trajectory ATE by moving unconstrained
+        interior nodes (16.9 -> 21.0 mm) — and no edge weighting can fix
+        that (an oracle given the TRUE per-edge error magnitudes still
+        lands at 20.1 mm), because closures carry no information about
+        segments they do not span. Re-anchoring improves BOTH metrics on
+        both sweep families (out-and-back and multi-revisit); see
+        validation/refbuild/loop_sweep.py.
+
+        Closures shorter than ``min_loop_separation`` nodes are recorded but
+        not applied (their measurement noise exceeds the drift they span);
+        when several applied closures share a target node the one with the
+        most PnP inliers wins. Idempotent: re-running after new frames only
+        applies corrections where new drift has accumulated.
+
+        Returns (R, t, applied_norms): corrected trajectory plus the
+        translation magnitude (metres) of each applied correction, in
+        target-node order.
+        """
+        R = np.array(R, np.float64, copy=True)
+        t = np.array(t, np.float64, copy=True)
+        n = len(t)
+        best: dict[int, Tuple[int, int, np.ndarray, np.ndarray, int]] = {}
+        for c in self.closures:
+            ni, nj, _, _, inl = c
+            if nj - ni < self.cfg.min_loop_separation or nj >= n or ni < 0:
+                continue
+            if nj not in best or inl > best[nj][4]:
+                best[nj] = c
+        applied = []
+        for nj in sorted(best):
+            ni, _, Rc, tc, _ = best[nj]
+            # closure-implied pose of node j: T_i * (Rc, tc)
+            Rd = R[ni] @ np.asarray(Rc, np.float64)
+            td = t[ni] + R[ni] @ np.asarray(tc, np.float64)
+            # rigid delta pivoting at node j: maps T_j onto (Rd, td)
+            dR = Rd @ R[nj].T
+            dt = td - dR @ t[nj]
+            applied.append(float(np.linalg.norm(td - t[nj])))
+            t[nj:] = t[nj:] @ dR.T + dt
+            R[nj:] = np.einsum("ij,njk->nik", dR, R[nj:])
+        return R, t, np.asarray(applied)
+
     def refine(
         self,
         R: np.ndarray,
@@ -154,8 +220,16 @@ class LoopCloser:
         robust: Optional[str] = None,
         robust_delta: float = 1.0,
         edge_traj: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        mode: str = "reanchor",
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Refine an absolute trajectory with the detected closures.
+
+        ``mode``: ``"reanchor"`` (default) — rigid segment re-anchoring, see
+        `reanchor` for the measurement-driven rationale; the returned norms
+        are the applied correction magnitudes. ``"graph"`` — pose-graph
+        Gauss-Newton over odometry + closure edges (all remaining arguments
+        apply); improves global closure consistency but can worsen interior
+        ATE when drift is systematic.
 
         ``edge_traj``: optional (R_raw, t_raw) trajectory from which the
         odometry edges are derived, when it differs from the INITIAL guess
@@ -176,6 +250,10 @@ class LoopCloser:
         graph against FALSE loop closures (perceptual aliasing passes the
         PnP gate with a geometrically wrong pose); see
         pose_graph.refine_pose_graph."""
+        if mode == "reanchor":
+            return self.reanchor(R, t)
+        if mode != "graph":
+            raise ValueError(f"unknown refine mode {mode!r} (reanchor|graph)")
         R_e, t_e = edge_traj if edge_traj is not None else (R, t)
         edges = odometry_edges(
             jnp.asarray(R_e, jnp.float32),

@@ -140,7 +140,7 @@ def test_refinement_pulls_drifted_trajectory_back():
     for i, (g, d) in enumerate(frames):
         lc.add_keyframe(i, g, d)
     assert len(lc.closures)
-    R_f, t_f, norms = lc.refine(R_d, t_d)
+    R_f, t_f, norms = lc.refine(R_d, t_d, mode="graph")
     assert norms[-1] < norms[0]
     err_before = np.linalg.norm(t_d - t_gt, axis=-1).mean()
     err_after = np.linalg.norm(t_f - t_gt, axis=-1).mean()
@@ -178,18 +178,18 @@ def test_refine_with_information_weighted_odometry_edges():
     dt = R_gt[-1].T @ (t_gt[0] - t_gt[-1])
     lc.closures.append((n - 1, 0, dR, dt, 30))
 
-    R_iso, t_iso, _ = lc.refine(R_d, t_d)
+    R_iso, t_iso, _ = lc.refine(R_d, t_d, mode="graph")
     from rgbd_odometry_tpu.solvers.pose_graph import normalized_information_sqrt
 
     info = np.stack([(1.0 / s**2) * np.eye(6) for s in sig]).astype(np.float32)
     si = np.asarray(normalized_information_sqrt(jnp.asarray(info)))
-    R_w, t_w, norms = lc.refine(R_d, t_d, odo_sqrt_info=si)
+    R_w, t_w, norms = lc.refine(R_d, t_d, odo_sqrt_info=si, mode="graph")
     err_iso = np.linalg.norm(t_iso - t_gt, axis=-1).mean()
     err_w = np.linalg.norm(t_w - t_gt, axis=-1).mean()
     assert err_w < 0.8 * err_iso, (err_w, err_iso)
     # identity whitening reproduces the isotropic refine exactly
     eye = np.broadcast_to(np.eye(6, dtype=np.float32), (n - 1, 6, 6))
-    _, t_eye, _ = lc.refine(R_d, t_d, odo_sqrt_info=eye)
+    _, t_eye, _ = lc.refine(R_d, t_d, odo_sqrt_info=eye, mode="graph")
     np.testing.assert_allclose(t_eye, t_iso, atol=1e-5)
 
 
@@ -269,11 +269,11 @@ def test_online_refine_inplace_rewrites_live_gop():
     R0, t0, _ = gop.poses()
     np.testing.assert_allclose(t0, t_d, atol=1e-9)
 
-    norms = lc.refine_inplace(gop, edge_traj=(R_d, t_d))
+    norms = lc.refine_inplace(gop, edge_traj=(R_d, t_d), mode="graph")
     assert norms is not None and norms[-1] < norms[0]
     R1, t1, _ = gop.poses()
     # write-back equals the pure refine on the same inputs
-    R_f, t_f, _ = lc.refine(R_d, t_d, edge_traj=(R_d, t_d))
+    R_f, t_f, _ = lc.refine(R_d, t_d, edge_traj=(R_d, t_d), mode="graph")
     np.testing.assert_allclose(t1, t_f, atol=1e-9)
     # last-keyframe composition state re-anchored to the refined keyframe
     kf_last = gop.keyframe_indices()[-1]
@@ -299,10 +299,10 @@ def test_online_refine_inplace_rewrites_live_gop():
     # refined poses (edge_traj=None) pulls further toward the closures
     gop.elements.pop()  # drop the probe frame
     R_before = [e.t.copy() for e in gop.elements]
-    lc.refine_inplace(gop, edge_traj=(R_d, t_d))
+    lc.refine_inplace(gop, edge_traj=(R_d, t_d), mode="graph")
     _, t2, _ = gop.poses()
     move_raw = float(np.linalg.norm(t2 - np.stack(R_before), axis=-1).max())
-    lc.refine_inplace(gop)  # edges rederived from refined poses
+    lc.refine_inplace(gop, mode="graph")  # edges rederived from refined poses
     _, t3, _ = gop.poses()
     move_forget = float(np.linalg.norm(t3 - t2, axis=-1).max())
     assert move_raw < 2e-3, move_raw
@@ -327,3 +327,85 @@ def test_cli_dvo_online_refine(tmp_path, capsys):
     assert "loop closures:" in out.err  # final polish still runs
     stats = json.loads(out.out.strip().splitlines()[-1])
     assert stats["ate_rmse"] < 0.02
+
+
+def _systematic_drift_chain(R_gt, t_gt, scale_err=1.04, white_mm=0.5, seed=11):
+    """Integrate odometry rels with MOTION-CORRELATED systematic error (a
+    translation scale factor) plus small white noise — the drift structure
+    the real solver exhibits (per-edge errors ~3 mm that partially cancel on
+    return legs), which a white-noise pose graph cannot represent."""
+    rng = np.random.default_rng(seed)
+    Rs, ts = [R_gt[0]], [t_gt[0]]
+    for k in range(len(t_gt) - 1):
+        dR = R_gt[k].T @ R_gt[k + 1]
+        dt = R_gt[k].T @ (t_gt[k + 1] - t_gt[k])
+        dt = scale_err * dt + rng.normal(0, white_mm * 1e-3, 3)
+        ts.append(ts[-1] + Rs[-1] @ dt)
+        Rs.append(Rs[-1] @ dR)
+    return np.stack(Rs), np.stack(ts)
+
+
+def _inject_revisit_closures(lc, R_gt, t_gt, min_sep, noise_mm=1.0, seed=4):
+    """Fabricate GT-accurate closures between spatially-revisiting nodes."""
+    rng = np.random.default_rng(seed)
+    n = len(t_gt)
+    for j in range(n):
+        for i in range(j - min_sep, -1, -1):
+            if np.linalg.norm(t_gt[j] - t_gt[i]) < 0.01:
+                dR = R_gt[i].T @ R_gt[j]
+                dt = R_gt[i].T @ (t_gt[j] - t_gt[i]) + rng.normal(0, noise_mm * 1e-3, 3)
+                lc.closures.append((i, j, dR, dt, 30))
+                break
+
+
+def test_default_refine_improves_both_full_ate_and_endpoint():
+    """The round-5 done-bar (VERDICT.md #1), pinned: the DEFAULT --loop-close
+    refinement must improve BOTH full-trajectory ATE and endpoint error vs
+    odometry-only, on an out-and-back AND a multi-revisit trajectory with
+    systematic (motion-correlated) odometry drift.
+
+    This is exactly the regime where pose-graph smearing fails (measured in
+    validation/refbuild/loop_sweep.py: graph refinement 16.9 -> 21.0 mm full
+    ATE even with ORACLE per-edge sigmas): closures carry no information
+    about unrevisited interior segments, so corrections must concentrate at
+    the revisit (rigid re-anchoring), not spread along the chain."""
+    from rgbd_odometry_tpu.eval.ate import ate_rmse
+
+    intr = Intrinsics.from_config(CAM)
+    for kind in ("outback", "revisit3"):
+        n = 40
+        ts_idx = np.arange(n)
+        if kind == "outback":
+            phase = np.sin(np.pi * ts_idx / (n - 1))
+        else:
+            phase = np.abs(np.sin(3 * np.pi * ts_idx / (n - 1)))
+        amp = 0.12
+        psis = np.stack(
+            [amp * phase, -0.5 * amp * phase, 0.3 * amp * phase,
+             0.2 * amp * phase, -0.2 * amp * phase, 0.1 * amp * phase], -1
+        ).astype(np.float32)
+        Rg, tg = [], []
+        for p in psis:
+            R_, t_ = geo.se3_exp(jnp.asarray(p))
+            Rg.append(np.asarray(R_, np.float64))
+            tg.append(np.asarray(t_, np.float64))
+        R_gt, t_gt = np.stack(Rg), np.stack(tg)
+        R_d, t_d = _systematic_drift_chain(R_gt, t_gt)
+
+        lc = LoopCloser(intr)
+        _inject_revisit_closures(lc, R_gt, t_gt, lc.cfg.min_loop_separation)
+        assert lc.closures, kind
+
+        R_f, t_f, norms = lc.refine(R_d, t_d)  # DEFAULT mode
+        ate_o = ate_rmse(t_d, t_gt, align=False)
+        ate_f = ate_rmse(t_f, t_gt, align=False)
+        end_o = np.linalg.norm(t_d[-1] - t_gt[-1])
+        end_f = np.linalg.norm(t_f[-1] - t_gt[-1])
+        assert len(norms) > 0, kind
+        assert ate_f < ate_o, (kind, ate_f, ate_o)
+        assert end_f < end_o, (kind, end_f, end_o)
+        # unrevisited interior nodes are untouched (the anti-smearing pin):
+        # nodes before the first applied closure target keep their poses
+        first_tgt = min(j for (_i, j, *_s) in lc.closures
+                        if j - _i >= lc.cfg.min_loop_separation)
+        np.testing.assert_allclose(t_f[:first_tgt], t_d[:first_tgt], atol=1e-12)

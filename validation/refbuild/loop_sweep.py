@@ -42,7 +42,15 @@ N_FRAMES = 40
 AMP = 0.12
 
 
-def main(work: str) -> dict:
+def _phase(kind: str) -> "np.ndarray":
+    ts = np.arange(N_FRAMES)
+    if kind == "outback":
+        return np.sin(np.pi * ts / (N_FRAMES - 1))  # 0 -> 1 -> 0: out and back
+    # multi-revisit: passes through the start pose three times
+    return np.abs(np.sin(3 * np.pi * ts / (N_FRAMES - 1)))
+
+
+def main(work: str, kind: str = "outback") -> dict:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -64,8 +72,7 @@ def main(work: str) -> dict:
     os.makedirs(os.path.join(rundir, "poses"), exist_ok=True)
     os.makedirs(xml, exist_ok=True)
 
-    ts = np.arange(N_FRAMES)
-    phase = np.sin(np.pi * ts / (N_FRAMES - 1))  # 0 -> 1 -> 0: out and back
+    phase = _phase(kind)
     psis = np.stack(
         [AMP * phase, -0.5 * AMP * phase, 0.3 * AMP * phase,
          0.2 * AMP * phase, -0.2 * AMP * phase, 0.1 * AMP * phase], -1
@@ -86,7 +93,7 @@ def main(work: str) -> dict:
     assert r.returncode == 0, r.stderr[-2000:]
     res = subprocess.run([os.path.join(work, "ref_dvo"), calib], cwd=rundir,
                          capture_output=True, text=True, timeout=600)
-    row = {"n_frames": N_FRAMES, "path_out_mm": round(
+    row = {"kind": kind, "n_frames": N_FRAMES, "path_out_mm": round(
         1000 * float(np.linalg.norm(t_gt, axis=-1).max()), 1)}
     if res.returncode != 0:
         row["binary_crash"] = (f"exit {res.returncode}: " + (
@@ -100,8 +107,12 @@ def main(work: str) -> dict:
     runs = {
         "mine_parity": ["--method", "subgradient", "--iterations", "50,50,50,50"],
         "mine_lm": ["--method", "gauss_newton", "--iterations", "18,6,4,3"],
+        # the DEFAULT --loop-close path: rigid re-anchoring (r5)
         "mine_lm_loop": ["--method", "gauss_newton", "--iterations", "18,6,4,3",
                          "--loop-close"],
+        # the r3/r4 behavior, kept for the record: pose-graph smearing
+        "mine_lm_loop_graph": ["--method", "gauss_newton", "--iterations",
+                               "18,6,4,3", "--loop-close", "--refine-mode", "graph"],
         "mine_lm_loop_weighted": ["--method", "gauss_newton", "--iterations",
                                   "18,6,4,3", "--loop-close", "--weighted-refine"],
     }
@@ -165,4 +176,6 @@ def main(work: str) -> dict:
 
 if __name__ == "__main__":
     wd = sys.argv[1] if len(sys.argv) > 1 else "/tmp/loop_sweep"
-    main(wd)
+    kinds = sys.argv[2].split(",") if len(sys.argv) > 2 else ["outback", "revisit3"]
+    for k in kinds:
+        main(os.path.join(wd, k), kind=k)
