@@ -704,7 +704,16 @@ def cmd_fused(args):
             force_every=args.keyframe_every, enable_quality_triggers=True
         ),
     )
-    fused = FusedOdometry(cfg, FusedConfig(use_imu_prior=not args.no_imu))
+    from rgbd_odometry_tpu.solvers import imu as imu_mod
+
+    # sensor noise model: drives per-edge information weights in
+    # --imu-refine (zero-noise windows degenerate to uniform weighting)
+    imu_intr = imu_mod.ImuIntrinsics.from_scalars(
+        gyro_var=args.imu_noise**2, accel_var=(10.0 * args.imu_noise) ** 2
+    )
+    fused = FusedOdometry(
+        cfg, FusedConfig(use_imu_prior=not args.no_imu), imu_intrinsics=imu_intr
+    )
     rng = np.random.default_rng(0)
     dt = 1.0 / 30.0
     prev_R = prev_t = None
@@ -738,9 +747,14 @@ def cmd_fused(args):
         n += 1
     R, t, ts_arr = fused.trajectory()
     if args.imu_refine:
-        # the synthetic windows are gravity-free / from-rest (see above), so
-        # the refine defaults (zero gravity, zero velocities) match them
-        R, t, ts_arr = fused.refine_with_imu(imu_weight=args.imu_weight)
+        # the synthetic windows are gravity-free / from-rest (see above):
+        # gravity and velocities are exactly zero for them, stated explicitly
+        # (real-IMU callers pass imu.DEFAULT_GRAVITY and let velocities
+        # default to the trajectory-derived estimate)
+        R0, t0, _ = fused.trajectory()
+        R, t, ts_arr = fused.refine_with_imu(
+            gravity=(0.0, 0.0, 0.0), velocities=np.zeros_like(t0),
+            imu_weight=args.imu_weight)
     if args.out:
         from rgbd_odometry_tpu.io.tum import write_trajectory
 

@@ -70,7 +70,10 @@ def information_sqrt(info: jnp.ndarray, ridge: float = 1e-9) -> jnp.ndarray:
 
 
 def normalized_information_sqrt(
-    info: jnp.ndarray, sigma2: jnp.ndarray | None = None, ridge: float = 1e-9
+    info: jnp.ndarray,
+    sigma2: jnp.ndarray | None = None,
+    ridge: float = 1e-9,
+    block_normalize: bool = False,
 ) -> jnp.ndarray:
     """`information_sqrt` with batch scale normalization, for mixing
     solver-produced information matrices with scalar-weighted edges.
@@ -83,10 +86,26 @@ def normalized_information_sqrt(
     each edge and the relative confidence between edges, which is the
     actual signal. ``sigma2`` (optional, (E,)): per-edge robust residual
     variance from `pose_information`; the true information is
-    J^T W J / sigma2, so noisier solves count for less."""
+    J^T W J / sigma2, so noisier solves count for less.
+
+    ``block_normalize``: normalize the translation (m) and rotation (rad)
+    3x3 blocks by SEPARATE batch scales. Required whenever the two units
+    carry wildly different information magnitudes — an IMU preintegration
+    with a quiet gyro has rotation information ~1e11 vs translation ~1e4,
+    and a single global scale would whiten the translation rows to ~1e-7,
+    silently switching the translation constraints off (measured: the
+    information-weighted IMU refinement moved the trajectory by exactly
+    nothing). Off-diagonal coupling blocks scale by the geometric mean."""
     info = jnp.asarray(info)
     if sigma2 is not None:
         info = info / jnp.maximum(jnp.asarray(sigma2)[:, None, None], 1e-12)
+    if block_normalize:
+        s_t = jnp.mean(jnp.trace(info[..., :3, :3], axis1=-2, axis2=-1)) / 3.0
+        s_r = jnp.mean(jnp.trace(info[..., 3:, 3:], axis1=-2, axis2=-1)) / 3.0
+        d = jnp.concatenate([jnp.full((3,), s_t, info.dtype),
+                             jnp.full((3,), s_r, info.dtype)])
+        D = jnp.sqrt(jnp.maximum(d[:, None] * d[None, :], 1e-30))
+        return information_sqrt(info / D, ridge=ridge)
     scale = jnp.mean(jnp.trace(info, axis1=-2, axis2=-1)) / 6.0
     return information_sqrt(info / jnp.maximum(scale, 1e-30), ridge=ridge)
 

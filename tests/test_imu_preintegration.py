@@ -250,10 +250,63 @@ def test_refine_trajectory_with_imu():
     intr = imu.ImuIntrinsics.from_scalars()
     stamps = np.arange(n) * dt
     Rf, tf = refine_trajectory_with_imu(
-        est_R, est_t, stamps, windows, intr, imu_weight=5.0)
+        est_R, est_t, stamps, windows, intr, gravity=(0.0, 0.0, 0.0),
+        velocities=np.zeros_like(est_t), imu_weight=5.0)
 
     def ate(tt):
         return float(np.mean(np.linalg.norm(tt - gt_t, axis=1)))
 
     e_before, e_after = ate(est_t), ate(tf)
     assert e_after < 0.6 * e_before, (e_before, e_after)
+
+
+def test_information_weighted_imu_fusion_beats_scalar():
+    """Heterogeneous IMU windows (VERDICT r4 weak #6 done-bar): the sample
+    rate is fixed, but window DURATION alternates — short 3-sample windows
+    vs 10x-longer 30-sample windows whose noise integrates ~30x larger (in
+    the model covariance AND the realized samples). Information weighting
+    must downweight the long windows and beat uniform scalar weighting."""
+    from rgbd_odometry_tpu.pipeline.fused import refine_trajectory_with_imu
+
+    rng = np.random.default_rng(5)
+    n = 16
+    dt_s = 0.01  # fixed IMU sample interval (100 Hz, the reference rate)
+    sig_a = 0.9  # per-sample accel noise (m/s^2), same sensor for every window
+    # GT: translation-only chain (rotation exactly identity keeps the
+    # discrete from-rest window construction exact for any sample count)
+    rels = [rng.normal(0, 0.012, 3) for _ in range(n - 1)]
+    gt_t = np.vstack([np.zeros(3), np.cumsum(rels, axis=0)])
+    gt_R = np.stack([np.eye(3)] * n)
+
+    # visual estimate: drift noise on every relative translation
+    est_t = [gt_t[0]]
+    for dtr in rels:
+        est_t.append(est_t[-1] + dtr + rng.normal(0, 0.004, 3))
+    est_t = np.stack(est_t)
+    est_R = gt_R.copy()
+
+    windows = {}
+    intervals = []
+    for k, dtr in enumerate(rels, start=1):
+        T = 3 if k % 2 == 1 else 30  # short window / 10x longer gap
+        # discrete from-rest: p_total = 0.5 * a * dt^2 * T^2
+        a = 2.0 * np.asarray(dtr) / (dt_s * dt_s * T * T)
+        acc = np.tile(a[None, :], (T, 1)) + rng.normal(0, sig_a, (T, 3))
+        windows[k] = (acc.astype(np.float32), np.zeros((T, 3), np.float32), dt_s)
+        intervals.append(T * dt_s)
+    stamps = np.concatenate([[0.0], np.cumsum(intervals)])
+
+    intr = imu.ImuIntrinsics.from_scalars(accel_var=sig_a**2, gyro_var=1e-8)
+    kw = dict(gravity=(0.0, 0.0, 0.0), velocities=np.zeros_like(est_t),
+              imu_weight=5.0)
+    _, t_info = refine_trajectory_with_imu(
+        est_R, est_t, stamps, windows, intr, information_weighted=True, **kw)
+    _, t_scalar = refine_trajectory_with_imu(
+        est_R, est_t, stamps, windows, intr, information_weighted=False, **kw)
+
+    def ate(tt):
+        return float(np.mean(np.linalg.norm(tt - gt_t, axis=1)))
+
+    e_vis, e_info, e_scalar = ate(est_t), ate(t_info), ate(t_scalar)
+    assert e_info < 0.8 * e_vis, (e_info, e_vis)
+    assert e_info < 0.9 * e_scalar, (e_info, e_scalar)
