@@ -228,36 +228,23 @@ def _inner() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from rgbd_odometry_tpu.config import CameraConfig, SolverConfig
     from rgbd_odometry_tpu.core.camera import Intrinsics
     from rgbd_odometry_tpu.core.pyramid import build_pyramid
+    from rgbd_odometry_tpu.profiles import production_320
     from rgbd_odometry_tpu.solvers import edge_dvo
 
     # r3 B-sweep on v5e: 64 -> 3.95k, 128 -> 4.23k, 256 -> 4.54k, 512 -> 3.45k
     # f/s (same code): 256 amortizes the ~1.8 ms fixed dispatch cost best and
     # matches BASELINE.json's batch config
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    cam = CameraConfig()  # reference base: 320x240, Freiburg-1 intrinsics
-    num_levels = 4
-    # capacity 2048 at level 0: stride-8 solves use max 512 points either way
-    # (jstride = min(stride, cap//512)); the smaller top-k is cheaper and the
-    # family accuracy sweep measured equal-or-better errors at this capacity
-    max_pts = (2048, 1024, 512, 512)
-    # production LM profile: accuracy measured equal to the reference's
-    # 50-iteration schedule on the synthetic suite (0.1-0.5px reprojection);
-    # lm_jacobian_stride=8 verified at equal pose error on 3 scenes.
-    # edt_window=16 + unnormalized (pixel-unit) DT: exact distances <= 16 px;
-    # the 6-family accuracy sweep (r3) measured equal-or-BETTER errors than
-    # window 32 on every family x magnitude combo
-    cfg = SolverConfig(
-        method="gauss_newton",
-        iterations=(18, 6, 4, 3),
-        lm_jacobian_stride=8,
-        edt_window=16,
-        normalize_dt=False,
-        lm_deferred_accept=True,
-        extract_selection="segmented",
-    )
+    # the canonical tuned profile (rgbd_odometry_tpu/profiles.py): every knob
+    # adopted via an A/B on the real chip + an accuracy sweep at equal-or-
+    # better pose error (BASELINE.md r2/r3 kernel tables)
+    prof = production_320()
+    cam = prof.camera  # reference base: 320x240, Freiburg-1 intrinsics
+    num_levels = prof.num_levels
+    max_pts = prof.max_points
+    cfg = prof.solver
     intr = Intrinsics.from_config(cam)
 
     rec["stage"] = "render"
@@ -354,14 +341,14 @@ def _inner() -> None:
 
 
 def _extras(jax, edge_dvo, intr, featsets, sets, ref_s, batch, remaining):
-    from rgbd_odometry_tpu.config import SolverConfig
+    from rgbd_odometry_tpu.profiles import parity_320, production_320
 
     n_sets = len(sets)
     out: dict = {}
 
     # (a) reference-parity sub-gradient mode (50 itr x 4 levels, float32
     #     floor gathers) — the mode whose schedule is oracle-verified
-    sub_cfg = SolverConfig(method="subgradient")
+    sub_cfg = parity_320().solver
     f_sub = jax.jit(
         jax.vmap(
             lambda feats, ng: edge_dvo.solve_pyramid(
@@ -383,15 +370,7 @@ def _extras(jax, edge_dvo, intr, featsets, sets, ref_s, batch, remaining):
 
     # (b) streaming mode: ONE pair in flight (the reference's own operating
     #     regime — its loop targets 35 Hz, /root/reference/src/SolveDVO.cpp:1945)
-    cfg = SolverConfig(
-        method="gauss_newton",
-        iterations=(18, 6, 4, 3),
-        lm_jacobian_stride=8,
-        edt_window=16,
-        normalize_dt=False,
-        lm_deferred_accept=True,
-        extract_selection="segmented",
-    )
+    cfg = production_320().solver
     f_step1 = jax.jit(
         lambda feats, ng: edge_dvo.solve_pyramid(
             feats, edge_dvo.prepare_now_targets(ng, cfg), intr, cfg
@@ -410,14 +389,22 @@ def _extras(jax, edge_dvo, intr, featsets, sets, ref_s, batch, remaining):
         jax.block_until_ready(o)
     out["streaming_single_pair_hz"] = round(n_stream / (time.perf_counter() - t0), 2)
 
-    # (c) lockstep multi-stream driver: 8 live cameras on one chip through
+    # (c) true-VGA production profile (BASELINE.json config 2 reads VGA
+    #     frame-pairs/s): 640x480 base, 5 levels — the resolution the
+    #     reference explicitly skipped as too expensive
+    #     (/root/reference/src/camTopic2PublisherPyD.cpp:341-345). Opt-in
+    #     (BENCH_VGA=1): fresh 5-level VGA shapes compile through the remote
+    #     compile server (~minutes cold; cached after).
+    if os.environ.get("BENCH_VGA", "") == "1" and remaining() > 90.0:
+        out.update(_vga_extras(jax, edge_dvo, remaining))
+    if os.environ.get("BENCH_MULTISTREAM", "") != "1" or remaining() < 60.0:
+        return out
+    # (d) lockstep multi-stream driver: 8 live cameras on one chip through
     #     the production streaming path (parallel/streams.py). Opt-in
     #     (BENCH_MULTISTREAM=1): its fresh 8-stream 4-level compiles add
     #     ~15 min through the remote compile server (measured 2026-08-17:
     #     60.3 frames/s aggregate over the tunnel — pure RTT-bound;
     #     recorded in BASELINE.md)
-    if os.environ.get("BENCH_MULTISTREAM", "") != "1" or remaining() < 60.0:
-        return out
     import numpy as np
 
     from rgbd_odometry_tpu.config import (
@@ -454,7 +441,99 @@ def _extras(jax, edge_dvo, intr, featsets, sets, ref_s, batch, remaining):
         ms.process_batch(g_b[i % n_sets], d_b, timestamp=(8 + i) / 30.0)
     multistream_hz = n_ms / (time.perf_counter() - t0)
     out["multistream_8cam_frames_per_s"] = round(multistream_hz * n_streams, 2)
+
+    # (d2) device-loop counterpart: same 8-stream lockstep work with
+    # device-resident frames and NO per-step host sync — the solve chain
+    # (warm poses feed the next step; batched __OLD__REF_UPDATE re-extraction
+    # every KEYFRAME_EVERY steps) is dispatched back-to-back and blocked once,
+    # isolating what a locally-attached chip sustains from the tunnel's
+    # ~28 ms/dispatch RTT (the single-pair analogue of the 478 Hz row)
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid as _bp
+
+    pyrs = [
+        ms._put(_bp(jnp.asarray(g, jnp.float32), jnp.asarray(d_b, jnp.float32), 4))
+        for g in g_b
+    ]
+    feats0 = ms._extract(pyrs[0].gray, pyrs[0].depth)
+    warm0 = ms._identity_warm()
+    all_on = ms._put(jnp.ones((n_streams,), bool))
+
+    def _chain(n_steps):
+        feats, (R_d, t_d) = feats0, warm0
+        for i in range(n_steps):
+            pyr = pyrs[i % n_sets]
+            R_d, t_d, _, edges_d = ms._step(feats, pyr.gray, R_d, t_d)
+            if (i + 1) % KEYFRAME_EVERY == 0:
+                new_feats = ms._extract_e(pyr.gray, pyr.depth, edges_d)
+                feats = ms._merge(feats, new_feats, all_on)
+                R_d, t_d = warm0
+        return R_d, t_d
+
+    jax.block_until_ready(_chain(KEYFRAME_EVERY))  # warm every executable
+    n_dev = 30
+    t0 = time.perf_counter()
+    jax.block_until_ready(_chain(n_dev))
+    dev_hz = n_dev / (time.perf_counter() - t0)
+    out["multistream_8cam_device_frames_per_s"] = round(dev_hz * n_streams, 2)
     return out
+
+
+def _vga_extras(jax, edge_dvo, remaining):
+    """True-VGA throughput row: production_vga profile, its own rendered
+    640x480 batch, same per-frame semantics as the headline (step +
+    keyframe extraction amortized over KEYFRAME_EVERY)."""
+    import jax.numpy as jnp
+
+    from rgbd_odometry_tpu.core.camera import Intrinsics
+    from rgbd_odometry_tpu.core.pyramid import build_pyramid
+    from rgbd_odometry_tpu.profiles import production_vga
+
+    prof = production_vga()
+    vbatch = int(os.environ.get("BENCH_VGA_BATCH", "64"))
+    intr_v = Intrinsics.from_config(prof.camera)
+    cfg_v = prof.solver
+    nlv = prof.num_levels
+
+    rg, rd, ng, nd = _render_batch(prof.camera, vbatch, 0)
+    ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), nlv)
+    now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), nlv)
+    jax.block_until_ready((ref, now))
+
+    f_tgt = jax.jit(jax.vmap(lambda g: edge_dvo.prepare_now_targets(g, cfg_v)))
+    f_ref = jax.jit(
+        jax.vmap(
+            lambda g, d, e: edge_dvo.extract_ref_features(
+                g, d, intr_v, cfg_v, prof.max_points, edges_pyr=e
+            )
+        )
+    )
+    f_step = jax.jit(
+        jax.vmap(
+            lambda feats, g: edge_dvo.solve_pyramid(
+                feats, edge_dvo.prepare_now_targets(g, cfg_v), intr_v, cfg_v
+            )[:2]
+        )
+    )
+    edges = tuple(t.edges for t in f_tgt(ref.gray))
+    feats = f_ref(ref.gray, ref.depth, edges)
+    outs = f_step(feats, now.gray)
+    jax.block_until_ready(outs)
+
+    reps = 4 if remaining() > 60.0 else 2
+    t0 = time.perf_counter()
+    rs = [f_step(feats, now.gray) for _ in range(reps)]
+    jax.block_until_ready(rs)
+    step_s = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    rs = [f_ref(ref.gray, ref.depth, edges) for _ in range(reps)]
+    jax.block_until_ready(rs)
+    ref_s = (time.perf_counter() - t0) / reps
+    per_frame = step_s + ref_s / KEYFRAME_EVERY
+    return {
+        "vga_frames_per_s": round(vbatch / per_frame, 2),
+        "vga_batch": vbatch,
+        "vga_levels": nlv,
+    }
 
 
 def main() -> None:

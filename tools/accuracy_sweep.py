@@ -1,11 +1,23 @@
 """Multi-scene, multi-motion-family pose-accuracy sweep with exact ground truth.
 
 Renders N distinct synthetic scenes x M motion magnitudes x F motion
-*families*, solves each pair with (a) the production LM profile and (b) the
-reference-parity sub-gradient schedule, and reports translation/rotation
-error statistics per family. Run on the real chip:
+*families*, solves each pair with the canonical solver profiles
+(rgbd_odometry_tpu/profiles.py), and reports translation/rotation error
+statistics per family. Run on the real chip:
 
     python tools/accuracy_sweep.py [--scenes N] [--families a,b,...]
+                                   [--profiles production_320,parity_320]
+
+Profiles (one place for every tuned configuration — bench.py and the
+validation sweeps share them):
+
+    production_320   tuned LM profile at the reference's 320x240 resolution
+                     (the bench.py headline; formerly "production_lm")
+    parity_320       the reference's own sub-gradient schedule, constant-for-
+                     constant (formerly "reference_parity_subgradient")
+    production_vga   true-VGA 5-level profile — the configuration the
+                     reference explicitly could not afford
+                     (/root/reference/src/camTopic2PublisherPyD.cpp:341-345)
 
 Motion families (round-3 diversification — the round-2 sweep jittered ONE
 base twist by +-20% per component, which almost never flips a sign, so every
@@ -57,69 +69,73 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, default=8)
     ap.add_argument("--families", type=str, default=",".join(FAMILIES))
+    ap.add_argument(
+        "--profiles", type=str, default="production_320,parity_320",
+        help="comma-separated profile names from rgbd_odometry_tpu.profiles",
+    )
+    ap.add_argument(
+        "--supersample", type=int, default=3,
+        help="renderer anti-aliasing factor (3 = accuracy-suite default)",
+    )
     args = ap.parse_args()
     families = {k: FAMILIES[k] for k in args.families.split(",")}
 
     import jax
     import jax.numpy as jnp
 
-    from rgbd_odometry_tpu.config import CameraConfig, SolverConfig
+    from rgbd_odometry_tpu import profiles as profiles_mod
     from rgbd_odometry_tpu.core.camera import Intrinsics
     from rgbd_odometry_tpu.core.pyramid import build_pyramid
     from rgbd_odometry_tpu.io.synthetic import render_pair
     from rgbd_odometry_tpu.solvers import edge_dvo
 
-    cam = CameraConfig()
-    intr = Intrinsics.from_config(cam)
-    max_pts = (2048, 1024, 512, 512)
     profiles = {
-        "production_lm": SolverConfig(
-            method="gauss_newton",
-            iterations=(18, 6, 4, 3),
-            lm_jacobian_stride=8,
-            edt_window=16,
-            normalize_dt=False,
-            lm_deferred_accept=True,
-        extract_selection="segmented",  # matches bench.py's production profile
-        ),
-        "reference_parity_subgradient": SolverConfig(method="subgradient"),
+        name: getattr(profiles_mod, name)() for name in args.profiles.split(",")
     }
 
     # jit once per profile: shapes are identical across families/scales
-    solvers = {
-        pname: jax.jit(
+    def _make_solver(prof):
+        intr = Intrinsics.from_config(prof.camera)
+        return jax.jit(
             jax.vmap(
-                lambda a, b, c, cfg=cfg: edge_dvo.align_pair(
-                    a, b, c, intr, cfg, max_pts
+                lambda a, b, c: edge_dvo.align_pair(
+                    a, b, c, intr, prof.solver, prof.max_points
                 )[:2]
             )
         )
-        for pname, cfg in profiles.items()
-    }
+
+    solvers = {pname: _make_solver(prof) for pname, prof in profiles.items()}
 
     report = {}
     worst = {pname: 0.0 for pname in profiles}
     for fam_name, base_psi in families.items():
         for scale_name, scale in MOTION_SCALES.items():
-            rgs, rds, ngs, gts = [], [], [], []
             rng = np.random.default_rng(7)
-            for seed in range(args.scenes):
+            psis = []
+            for _ in range(args.scenes):
                 jitter = 1.0 + 0.2 * rng.standard_normal(6).astype(np.float32)
-                psi = base_psi * scale * jitter
-                (rg, rd), (ng, nd), (R_gt, t_gt) = render_pair(cam, psi, seed=seed)
-                ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), 4)
-                now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), 4)
-                rgs.append(ref.gray)
-                rds.append(ref.depth)
-                ngs.append(now.gray)
-                gts.append((R_gt, t_gt))
-            rg_b = tuple(jnp.stack([r[l] for r in rgs]) for l in range(4))
-            rd_b = tuple(jnp.stack([r[l] for r in rds]) for l in range(4))
-            ng_b = tuple(jnp.stack([r[l] for r in ngs]) for l in range(4))
-            R_gt = np.stack([g[0] for g in gts])
-            t_gt = np.stack([g[1] for g in gts])
+                psis.append(base_psi * scale * jitter)
 
-            for pname in profiles:
+            for pname, prof in profiles.items():
+                nlv = prof.num_levels
+                rgs, rds, ngs, gts = [], [], [], []
+                for seed, psi in enumerate(psis):
+                    (rg, rd), (ng, nd), (R_gt, t_gt) = render_pair(
+                        prof.camera, psi, seed=seed,
+                        supersample=args.supersample,
+                    )
+                    ref = build_pyramid(jnp.asarray(rg), jnp.asarray(rd), nlv)
+                    now = build_pyramid(jnp.asarray(ng), jnp.asarray(nd), nlv)
+                    rgs.append(ref.gray)
+                    rds.append(ref.depth)
+                    ngs.append(now.gray)
+                    gts.append((R_gt, t_gt))
+                rg_b = tuple(jnp.stack([r[l] for r in rgs]) for l in range(nlv))
+                rd_b = tuple(jnp.stack([r[l] for r in rds]) for l in range(nlv))
+                ng_b = tuple(jnp.stack([r[l] for r in ngs]) for l in range(nlv))
+                R_gt = np.stack([g[0] for g in gts])
+                t_gt = np.stack([g[1] for g in gts])
+
                 R, t = solvers[pname](rg_b, rd_b, ng_b)
                 R, t = np.asarray(R, np.float64), np.asarray(t, np.float64)
                 t_err = np.linalg.norm(t - t_gt, axis=-1)
