@@ -174,7 +174,22 @@ def cmd_dvo(args):
     if args.loop_close:
         from rgbd_odometry_tpu.pipeline.loop_closure import LoopCloser
 
-        closer = LoopCloser(odo.intr)
+        if args.resume:
+            # restore the keyframe store + closure log saved beside the
+            # odometry snapshot: post-resume frames can close loops onto
+            # PRE-checkpoint keyframes (None when the checkpoint was saved
+            # without --loop-close — start fresh then)
+            from rgbd_odometry_tpu.utils.checkpoint import load_loop_closer
+
+            closer = load_loop_closer(args.resume, odo.intr)
+            if closer is not None:
+                print(
+                    f"loop closer restored: {len(closer.keyframes)} keyframes, "
+                    f"{len(closer.closures)} closures",
+                    file=sys.stderr,
+                )
+        if closer is None:
+            closer = LoopCloser(odo.intr)
     info_recs = None
     # --weighted-refine weights odometry EDGES, which only exist in graph
     # mode — it implies the pose-graph path (reanchor has no odometry edges)
@@ -213,7 +228,14 @@ def cmd_dvo(args):
     # measurements every (re-)refinement derives its odometry edges from
     # (see LoopCloser.refine edge_traj)
     raw_rels: list = []
-    refine_state = {"kf": 0, "closures": 0}
+    if args.resume:
+        from rgbd_odometry_tpu.utils.checkpoint import load_raw_rels
+
+        raw_rels = load_raw_rels(args.resume) or []
+    refine_state = {
+        "kf": 0,
+        "closures": 0 if closer is None else len(closer.closures),
+    }
 
     def _capture_raw_rel():
         els = odo.gop.elements
@@ -253,8 +275,10 @@ def cmd_dvo(args):
             if (
                 refine_state["kf"] >= refine_every
                 and len(closer.closures) > refine_state["closures"]
-                # resumed runs have trajectory nodes predating this session's
-                # raw-rel capture — online refinement needs the full chain
+                # online refinement needs the FULL raw chain: resumed runs
+                # restore it from the checkpoint (utils/checkpoint.py
+                # load_raw_rels); a checkpoint saved without --refine-every
+                # has none, and this guard keeps such resumes odometry-only
                 and len(raw_rels) + 1 == len(odo.gop)
             ):
                 norms = closer.refine_inplace(
@@ -346,7 +370,12 @@ def cmd_dvo(args):
     if args.checkpoint:
         from rgbd_odometry_tpu.utils.checkpoint import save_odometry
 
-        save_odometry(odo, args.checkpoint)
+        save_odometry(
+            odo,
+            args.checkpoint,
+            closer=closer,
+            raw_rels=raw_rels if refine_every else None,
+        )
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
     print(f"avg solve: {odo.average_solve_ms():.2f} ms over {n} frames", file=sys.stderr)
     if odo._reloc is not None:
