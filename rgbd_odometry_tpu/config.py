@@ -322,6 +322,12 @@ class RelocalizeConfig:
     dist_gate_floor: float = 0.2
     min_depth_mm: float = 100.0
     slot_capacity: int = 64  # initial database capacity (doubles when full)
+    # hard cap on stored keyframes (device memory + match cost bound for
+    # endurance runs). When full, a new keyframe EVICTS the stored entry
+    # whose anchor pose is spatially closest to it — coverage of the whole
+    # trajectory is what recovery needs, and the nearest neighbour is the
+    # most redundant entry. 0 = unbounded (the pre-r5 behavior)
+    max_keyframes: int = 1024
 
     def __post_init__(self):
         if self.trigger_consecutive < 1:
@@ -343,6 +349,11 @@ class PipelineConfig:
     # extrapolates it by the last inter-frame motion, composed ON DEVICE so the
     # steady-state loop still pays zero extra host<->device transfers
     motion_model: str = "hold"
+    # per-frame FrameMetrics records retained (ring buffer); 0 = unbounded.
+    # Default mirrors the reference's 100k-pose reserve
+    # (/root/reference/src/GOP.cpp:125): ~an hour of 30 Hz streaming stays
+    # inspectable while endurance runs hold flat host memory
+    metrics_max: int = 100_000
 
     def __post_init__(self):
         if self.motion_model not in ("hold", "constant_velocity"):
@@ -378,4 +389,5 @@ class PipelineConfig:
             # files / checkpoints that still carry it load fine — the only
             # real reduced-precision switch is SolverConfig.gather_dtype
             motion_model=d.get("motion_model", "hold"),
+            metrics_max=d.get("metrics_max", 100_000),
         )

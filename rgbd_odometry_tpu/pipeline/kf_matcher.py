@@ -162,6 +162,17 @@ class KeyframeMatcher:
         self.stored.append(sk)
         return idx
 
+    def replace(self, slot: int, sk: StoredKeyframe) -> None:
+        """Overwrite an existing slot in place (eviction policies live in the
+        consumers — e.g. Relocalizer's nearest-pose eviction at its
+        max_keyframes cap); the slot buffer neither grows nor recompiles."""
+        if not 0 <= slot < len(self.stored):
+            raise IndexError(f"slot {slot} not in use (0..{len(self.stored)-1})")
+        self._slots = jax.tree_util.tree_map(
+            lambda buf, x: buf.at[slot].set(x), self._slots, sk.kps
+        )
+        self.stored[slot] = sk
+
     # ---- query -----------------------------------------------------------
     def match_all(self, kps: feat.Keypoints):
         """Match `kps` against every stored slot in one batched dispatch.

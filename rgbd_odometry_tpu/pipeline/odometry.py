@@ -162,7 +162,17 @@ class EdgeDvoOdometry:
         self.cfg = config or PipelineConfig()
         self.intr = Intrinsics.from_config(self.cfg.camera)
         self.gop = Gop()
-        self.metrics: List[FrameMetrics] = []
+        # bounded observability ring: FrameMetrics carries an energy curve
+        # per frame, so an unbounded list grows without limit on endurance
+        # runs. 100k frames (~an hour at 30 Hz, the same horizon the
+        # reference reserves for its GOP, /root/reference/src/GOP.cpp:125)
+        # of recent metrics stay indexable ([-1], slices via list()); older
+        # records age out. Set cfg.metrics_max=0 for an unbounded list.
+        from collections import deque
+
+        self.metrics: "deque[FrameMetrics]" = deque(
+            maxlen=self.cfg.metrics_max or None
+        )
         self._ref_feats = None
         self._prev_pyr: Optional[FramePyramid] = None
         self._prev_targets = None
@@ -188,9 +198,9 @@ class EdgeDvoOdometry:
         # relocalization after tracking loss (beyond-reference,
         # pipeline/relocalize.py): healthy keyframes feed an appearance
         # database; `trigger_consecutive` lost frames trigger a recovery
-        # query that re-anchors the trajectory. The database is NOT part of
-        # checkpoints (utils/checkpoint.py) — a resumed run restarts with an
-        # empty database that repopulates from its own keyframes.
+        # query that re-anchors the trajectory. The database IS part of
+        # checkpoints (utils/checkpoint.py, r5): a resumed run recovers
+        # against pre-checkpoint keyframes with the saved PRNG continuation.
         self._reloc = None
         self._bad_streak = 0
         if self.cfg.relocalize.enabled:

@@ -100,10 +100,22 @@ class Relocalizer:
             return False
         if int(jnp.sum(sk.pts_valid)) < self.cfg.min_inliers:
             return False
+        R_g = np.asarray(R_global, np.float64).copy()
+        t_g = np.asarray(t_global, np.float64).copy()
+        cap = getattr(self.cfg, "max_keyframes", 0)
+        if cap and len(self.poses) >= cap:
+            # eviction at the cap: replace the stored entry whose anchor pose
+            # is spatially CLOSEST to the incoming one — it is the most
+            # redundant for recovery coverage, which is what the database is
+            # for. Device cost: one slot overwrite, no growth, no recompile.
+            dists = [np.linalg.norm(t_g - ts) for _, ts in self.poses]
+            s = int(np.argmin(dists))
+            self.matcher.replace(s, sk)
+            self.poses[s] = (R_g, t_g)
+            self.nodes[s] = None if node is None else int(node)
+            return True
         self.matcher.store(sk)
-        self.poses.append(
-            (np.asarray(R_global, np.float64).copy(), np.asarray(t_global, np.float64).copy())
-        )
+        self.poses.append((R_g, t_g))
         self.nodes.append(None if node is None else int(node))
         return True
 
