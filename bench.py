@@ -341,6 +341,8 @@ def _inner() -> None:
 
 
 def _extras(jax, edge_dvo, intr, featsets, sets, ref_s, batch, remaining):
+    import jax.numpy as jnp
+
     from rgbd_odometry_tpu.profiles import parity_320, production_320
 
     n_sets = len(sets)
@@ -447,34 +449,43 @@ def _extras(jax, edge_dvo, intr, featsets, sets, ref_s, batch, remaining):
     # (warm poses feed the next step; batched __OLD__REF_UPDATE re-extraction
     # every KEYFRAME_EVERY steps) is dispatched back-to-back and blocked once,
     # isolating what a locally-attached chip sustains from the tunnel's
-    # ~28 ms/dispatch RTT (the single-pair analogue of the 478 Hz row)
-    from rgbd_odometry_tpu.core.pyramid import build_pyramid as _bp
+    # ~28 ms/dispatch RTT (the single-pair analogue of the 478 Hz row).
+    # Own try: a failure here must not void the rows already measured above.
+    try:
+        from rgbd_odometry_tpu.core.pyramid import build_pyramid as _bp
 
-    pyrs = [
-        ms._put(_bp(jnp.asarray(g, jnp.float32), jnp.asarray(d_b, jnp.float32), 4))
-        for g in g_b
-    ]
-    feats0 = ms._extract(pyrs[0].gray, pyrs[0].depth)
-    warm0 = ms._identity_warm()
-    all_on = ms._put(jnp.ones((n_streams,), bool))
+        pyrs = [
+            ms._put(_bp(jnp.asarray(g, jnp.float32), jnp.asarray(d_b, jnp.float32), 4))
+            for g in g_b
+        ]
+        feats0 = ms._extract(pyrs[0].gray, pyrs[0].depth)
+        warm0 = ms._identity_warm()
+        all_on = ms._put(jnp.ones((n_streams,), bool))
 
-    def _chain(n_steps):
-        feats, (R_d, t_d) = feats0, warm0
-        for i in range(n_steps):
-            pyr = pyrs[i % n_sets]
-            R_d, t_d, _, edges_d = ms._step(feats, pyr.gray, R_d, t_d)
-            if (i + 1) % KEYFRAME_EVERY == 0:
-                new_feats = ms._extract_e(pyr.gray, pyr.depth, edges_d)
-                feats = ms._merge(feats, new_feats, all_on)
-                R_d, t_d = warm0
-        return R_d, t_d
+        def _chain(n_steps):
+            feats, (R_d, t_d) = feats0, warm0
+            last = None
+            for i in range(n_steps):
+                pyr = pyrs[i % n_sets]
+                R_d, t_d, _, edges_d = ms._step(feats, pyr.gray, R_d, t_d)
+                # the LIVE step outputs must be what the caller blocks on: a
+                # keyframe reset replaces (R_d, t_d) with constants, and
+                # blocking on constants would time dispatch, not the device
+                last = (R_d, t_d)
+                if (i + 1) % KEYFRAME_EVERY == 0:
+                    new_feats = ms._extract_e(pyr.gray, pyr.depth, edges_d)
+                    feats = ms._merge(feats, new_feats, all_on)
+                    R_d, t_d = warm0
+            return last, feats
 
-    jax.block_until_ready(_chain(KEYFRAME_EVERY))  # warm every executable
-    n_dev = 30
-    t0 = time.perf_counter()
-    jax.block_until_ready(_chain(n_dev))
-    dev_hz = n_dev / (time.perf_counter() - t0)
-    out["multistream_8cam_device_frames_per_s"] = round(dev_hz * n_streams, 2)
+        jax.block_until_ready(_chain(KEYFRAME_EVERY))  # warm every executable
+        n_dev = 30
+        t0 = time.perf_counter()
+        jax.block_until_ready(_chain(n_dev))
+        dev_hz = n_dev / (time.perf_counter() - t0)
+        out["multistream_8cam_device_frames_per_s"] = round(dev_hz * n_streams, 2)
+    except Exception as e:  # noqa: BLE001
+        out["multistream_device_error"] = str(e)[:200]
     return out
 
 
