@@ -61,6 +61,18 @@ class StoredKeyframe(NamedTuple):
     pts_valid: jnp.ndarray  # (K,)
 
 
+class StoredPoints(NamedTuple):
+    """What the store retains per keyframe BESIDES the slot buffer: the
+    backprojected 3D points verification's PnP stage needs. The keypoint
+    arrays themselves live ONLY in the stacked slot buffer (`slot_kps`
+    slices them back out) — keeping each keyframe's Keypoints separately
+    doubled the database's live-array count, the dominant host growth of
+    endurance runs (tools/endurance.py)."""
+
+    pts3d: jnp.ndarray  # (K, 3)
+    pts_valid: jnp.ndarray  # (K,)
+
+
 class Verification(NamedTuple):
     R: np.ndarray  # (3,3) stored->query relative pose (solver convention)
     t: np.ndarray  # (3,)
@@ -74,7 +86,7 @@ class KeyframeMatcher:
         self.intr = intr
         self.cfg = config or MatcherConfig()
         self._key = jax.random.PRNGKey(seed)
-        self.stored: List[StoredKeyframe] = []
+        self.stored: List[StoredPoints] = []
         # fixed-capacity stacked keypoint store (device-resident): slot s
         # holds keyframe s's Keypoints; unused slots are all-invalid and
         # fall out of the batched matching naturally
@@ -159,7 +171,7 @@ class KeyframeMatcher:
         self._slots = jax.tree_util.tree_map(
             lambda buf, x: buf.at[idx].set(x), self._slots, sk.kps
         )
-        self.stored.append(sk)
+        self.stored.append(StoredPoints(pts3d=sk.pts3d, pts_valid=sk.pts_valid))
         return idx
 
     def replace(self, slot: int, sk: StoredKeyframe) -> None:
@@ -171,7 +183,12 @@ class KeyframeMatcher:
         self._slots = jax.tree_util.tree_map(
             lambda buf, x: buf.at[slot].set(x), self._slots, sk.kps
         )
-        self.stored[slot] = sk
+        self.stored[slot] = StoredPoints(pts3d=sk.pts3d, pts_valid=sk.pts_valid)
+
+    def slot_kps(self, slot: int) -> feat.Keypoints:
+        """Keypoints of stored keyframe `slot`, sliced from the slot buffer
+        (the only place they live)."""
+        return jax.tree_util.tree_map(lambda buf: buf[slot], self._slots)
 
     # ---- query -----------------------------------------------------------
     def match_all(self, kps: feat.Keypoints):
@@ -200,9 +217,10 @@ class KeyframeMatcher:
         returns the query camera's pose in the stored keyframe's frame) or
         None if either stage falls short."""
         old = self.stored[slot]
+        old_kps = self.slot_kps(slot)
         m = jax.tree_util.tree_map(lambda x: x[slot], all_m)
-        uv_old = jnp.take(old.kps.uv, m.ref_idx, axis=0)
-        valid = m.good & kps.valid & jnp.take(old.kps.valid, m.ref_idx, axis=0)
+        uv_old = jnp.take(old_kps.uv, m.ref_idx, axis=0)
+        valid = m.good & kps.valid & jnp.take(old_kps.valid, m.ref_idx, axis=0)
         self._key, ek = jax.random.split(self._key)
         epi = self._epi(ek, kps.uv, uv_old, valid)
         if int(epi.num_inliers) < min_epi_inliers:

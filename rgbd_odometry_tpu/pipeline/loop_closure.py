@@ -68,9 +68,10 @@ class LoopClosureConfig:
 @dataclass
 class KeyframeRecord:
     node: int  # index into the trajectory being refined
-    kps: object  # feat.Keypoints
     pts3d: jnp.ndarray  # (K, 3) backprojected keypoints (camera frame)
     pts_valid: jnp.ndarray  # (K,)
+    # keypoint arrays live ONLY in the matcher's stacked slot buffer
+    # (kf_matcher.slot_kps) — per-record copies doubled endurance memory
 
 
 class LoopCloser:
@@ -90,8 +91,8 @@ class LoopCloser:
             ),
             seed=seed,
         )
-        # public per-keyframe records. NOTE: kps/pts3d/pts_valid are the
-        # SAME array references the matcher's stored list holds (no copies);
+        # public per-keyframe records. NOTE: pts3d/pts_valid are the SAME
+        # array references the matcher's stored list holds (no copies);
         # matcher.stored is the canonical slot index — the two lists grow in
         # lockstep inside add_keyframe and must never be mutated elsewhere
         self.keyframes: List[KeyframeRecord] = []
@@ -138,7 +139,7 @@ class LoopCloser:
             found.append(old.node)
         self.matcher.store(sk)
         self.keyframes.append(
-            KeyframeRecord(node=node, kps=sk.kps, pts3d=sk.pts3d, pts_valid=sk.pts_valid)
+            KeyframeRecord(node=node, pts3d=sk.pts3d, pts_valid=sk.pts_valid)
         )
         return found
 

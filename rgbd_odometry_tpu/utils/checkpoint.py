@@ -29,14 +29,18 @@ if TYPE_CHECKING:
 # ---------------------------------------------------------------------------
 def _matcher_arrays(matcher, p: str) -> dict:
     """Stacked per-slot arrays of a kf_matcher.KeyframeMatcher under prefix
-    `p`, plus its PRNG key (so post-resume RANSAC draws are bit-identical)."""
+    `p`, plus its PRNG key (so post-resume RANSAC draws are bit-identical).
+    Keypoint arrays come straight from the stacked slot buffer (their only
+    home since the r5 de-duplication, kf_matcher.StoredPoints)."""
     arrays = {f"{p}_key": np.asarray(matcher._key)}
-    if matcher.stored:
-        arrays[f"{p}_uv"] = np.stack([np.asarray(s.kps.uv) for s in matcher.stored])
-        arrays[f"{p}_score"] = np.stack([np.asarray(s.kps.score) for s in matcher.stored])
-        arrays[f"{p}_desc"] = np.stack([np.asarray(s.kps.desc) for s in matcher.stored])
-        arrays[f"{p}_kvalid"] = np.stack([np.asarray(s.kps.valid) for s in matcher.stored])
-        arrays[f"{p}_count"] = np.stack([np.asarray(s.kps.count) for s in matcher.stored])
+    n = len(matcher.stored)
+    if n:
+        kps = matcher._slots  # leading axis = slots; used slots are [:n]
+        arrays[f"{p}_uv"] = np.asarray(kps.uv[:n])
+        arrays[f"{p}_score"] = np.asarray(kps.score[:n])
+        arrays[f"{p}_desc"] = np.asarray(kps.desc[:n])
+        arrays[f"{p}_kvalid"] = np.asarray(kps.valid[:n])
+        arrays[f"{p}_count"] = np.asarray(kps.count[:n])
         arrays[f"{p}_pts3d"] = np.stack([np.asarray(s.pts3d) for s in matcher.stored])
         arrays[f"{p}_pvalid"] = np.stack([np.asarray(s.pts_valid) for s in matcher.stored])
     return arrays
@@ -253,7 +257,6 @@ def load_loop_closer(path: str, intr, config=None) -> Optional["LoopCloser"]:
     closer.keyframes = [
         KeyframeRecord(
             node=cm["nodes"][s],
-            kps=closer.matcher.stored[s].kps,
             pts3d=closer.matcher.stored[s].pts3d,
             pts_valid=closer.matcher.stored[s].pts_valid,
         )

@@ -161,8 +161,11 @@ def test_loop_closer_roundtrip_and_post_resume_closures():
 
     assert len(lc_b.keyframes) == len(lc_a.keyframes)
     assert [k.node for k in lc_b.keyframes] == [k.node for k in lc_a.keyframes]
-    for sa, sb in zip(lc_a.matcher.stored, lc_b.matcher.stored):
-        np.testing.assert_array_equal(np.asarray(sa.kps.desc), np.asarray(sb.kps.desc))
+    for s, (sa, sb) in enumerate(zip(lc_a.matcher.stored, lc_b.matcher.stored)):
+        np.testing.assert_array_equal(
+            np.asarray(lc_a.matcher.slot_kps(s).desc),
+            np.asarray(lc_b.matcher.slot_kps(s).desc),
+        )
         np.testing.assert_array_equal(np.asarray(sa.pts3d), np.asarray(sb.pts3d))
     np.testing.assert_array_equal(
         np.asarray(lc_a.matcher._key), np.asarray(lc_b.matcher._key)

@@ -142,8 +142,11 @@ def main():
         if i % 50 == 0:
             rss_samples.append(_rss_mb())
         if i % 200 == 0:
+            import jax
+
             print(
                 f"frame {i}: solve {m.solve_ms:.1f} ms, rss {_rss_mb():.0f} MB, "
+                f"live_arrays {len(jax.live_arrays())}, "
                 f"closures {len(closer.closures)}, reloc db {len(odo._reloc)}, "
                 f"recoveries {odo._reloc.successes}",
                 file=sys.stderr, flush=True,
