@@ -56,6 +56,30 @@ def test_metrics_ring_bounds_host_memory():
     assert PipelineConfig.from_json(cfg.to_json()).metrics_max == 5
 
 
+def test_per_frame_cost_stays_flat():
+    """Steady-state per-frame solve cost must not grow with stream length
+    (the endurance criterion; generous 2.5x bound to stay robust to shared
+    CI hosts — real growth from accumulating state would be monotonic and
+    large). 40 frames, one warm keyframe cycle excluded."""
+    cfg = PipelineConfig(
+        camera=CAM,
+        pyramid=PyramidConfig(num_levels=3, max_points=(1024, 512, 512)),
+        solver=SolverConfig(method="gauss_newton", iterations=(6, 4, 3)),
+        keyframe=KeyframeConfig(force_every=5),
+        relocalize=RelocalizeConfig(
+            enabled=True, min_matches=10, min_inliers=8, max_keyframes=4
+        ),
+    )
+    frames, _ = render_sequence(CAM, _smooth_psis(40, step=0.002), seed=1)
+    odo = EdgeDvoOdometry(cfg)
+    for i, (g, d) in enumerate(frames):
+        odo.process_frame(g, d, float(i))
+    ms = np.array([m.solve_ms for m in odo.metrics])
+    early, late = ms[10:20].mean(), ms[-10:].mean()
+    assert late < 2.5 * early, (early, late)
+    assert len(odo._reloc) <= 4  # cap held while streaming
+
+
 def test_reloc_db_cap_evicts_nearest_pose():
     frames, poses = render_sequence(CAM, _smooth_psis(8, step=0.005), seed=0)
     cfg = RelocalizeConfig(
