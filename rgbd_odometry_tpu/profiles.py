@@ -81,12 +81,17 @@ def production_320() -> Profile:
     )
 
 
-def production_vga(vga_iterations: int = 8) -> Profile:
+def production_vga(vga_iterations: int = 4) -> Profile:
     """True-VGA 5-level profile: 640x480 base, coarse ladder = production_320.
 
     ``vga_iterations`` LM iterations on the full-resolution level refine the
     level-1 (=320x240) solution; initialization there is already sub-pixel
-    at VGA scale, so the level is a polish pass, not a search.
+    at VGA scale, so the level is a polish pass, not a search. The polish
+    SATURATES by 4 iterations: the r5 on-chip A/B measured 4 vs 8 equal on
+    every family x magnitude combo (identical worst case, 6.87 mm; full
+    18-combo sweep re-run at 4 wins all 18 vs production_320 exactly like
+    the 8-iteration record — validation/refbuild/VGA_SWEEP_r5.log), so the
+    default takes the cheaper schedule.
     """
     p320 = production_320()
     return Profile(

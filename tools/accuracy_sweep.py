@@ -89,9 +89,13 @@ def main():
     from rgbd_odometry_tpu.io.synthetic import render_pair
     from rgbd_odometry_tpu.solvers import edge_dvo
 
-    profiles = {
-        name: getattr(profiles_mod, name)() for name in args.profiles.split(",")
-    }
+    def _make_profile(spec: str):
+        # "name" or "name:arg" (e.g. production_vga:4 = 4 polish iterations)
+        name, _, arg = spec.partition(":")
+        fn = getattr(profiles_mod, name)
+        return fn(int(arg)) if arg else fn()
+
+    profiles = {spec: _make_profile(spec) for spec in args.profiles.split(",")}
 
     # jit once per profile: shapes are identical across families/scales
     def _make_solver(prof):
